@@ -1,0 +1,431 @@
+"""Configuration system.
+
+A small, dependency-free replacement for the detectron2/yacs layered config
+used by the reference (ref: models/config.py:6-149, train_net.py:231-247).
+It preserves the reference's YAML dialect so the 24 shipped configs translate
+1:1:
+
+* nested ``CfgNode`` namespaces with attribute access,
+* ``_BASE_`` file inheritance (ref yaml `_BASE_: R50-AVSS4-...yaml`),
+* the ``!!python/object/apply:eval`` tag used for the multi-scale list
+  (ref: configs/avs_s4/R50-AVSS4-SemanticSegmentation.yaml:48),
+* freeze/defrost semantics (without the reference's defrost-at-build wart).
+
+Unlike yacs this is a plain recursive dot-dict: new keys may be added until
+``freeze()`` is called.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+from typing import Any, Iterator
+
+import yaml
+
+_RESERVED = {"_frozen_", "_dict_"}
+
+
+class CfgNode:
+    """Recursive attribute dict with freeze semantics."""
+
+    def __init__(self, init: dict | None = None):
+        object.__setattr__(self, "_dict_", {})
+        object.__setattr__(self, "_frozen_", False)
+        if init:
+            for k, v in init.items():
+                self[k] = v
+
+    # -- mapping protocol ---------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._dict_[key]
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if self._frozen_:
+            raise AttributeError(f"CfgNode is frozen; cannot set {key!r}")
+        if isinstance(value, dict):
+            value = CfgNode(value)
+        self._dict_[key] = value
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._dict_
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._dict_)
+
+    def keys(self):
+        return self._dict_.keys()
+
+    def items(self):
+        return self._dict_.items()
+
+    def values(self):
+        return self._dict_.values()
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._dict_.get(key, default)
+
+    # -- attribute protocol -------------------------------------------------
+    def __getattr__(self, key: str) -> Any:
+        if key in _RESERVED:
+            return object.__getattribute__(self, key)
+        try:
+            return self._dict_[key]
+        except KeyError:
+            raise AttributeError(key) from None
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        if key in _RESERVED:
+            object.__setattr__(self, key, value)
+        else:
+            self[key] = value
+
+    # -- lifecycle ----------------------------------------------------------
+    def freeze(self) -> "CfgNode":
+        object.__setattr__(self, "_frozen_", True)
+        for v in self._dict_.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+        return self
+
+    def defrost(self) -> "CfgNode":
+        object.__setattr__(self, "_frozen_", False)
+        for v in self._dict_.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+        return self
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        new = CfgNode()
+        for k, v in self._dict_.items():
+            new[k] = copy.deepcopy(v, memo)
+        if self._frozen_:
+            new.freeze()
+        return new
+
+    # -- merging ------------------------------------------------------------
+    def merge_dict(self, other: dict) -> None:
+        """Deep-merge a plain dict into this node (other wins)."""
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self._dict_.get(k), CfgNode):
+                self._dict_[k].merge_dict(v)
+            else:
+                self[k] = v
+
+    def merge_from_file(self, path: str) -> None:
+        self.merge_dict(_eval_tuple_strings(load_yaml_with_base(path)))
+
+    def merge_from_list(self, opts: list) -> None:
+        """Merge ``["KEY.SUBKEY", value, ...]`` pairs (CLI override style)."""
+        assert len(opts) % 2 == 0, "override list must be key/value pairs"
+        for key, value in zip(opts[::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if isinstance(value, str):
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass
+            node[parts[-1]] = value
+
+    def to_dict(self) -> dict:
+        out = {}
+        for k, v in self._dict_.items():
+            out[k] = v.to_dict() if isinstance(v, CfgNode) else v
+        return out
+
+    def __repr__(self) -> str:
+        return f"CfgNode({self.to_dict()!r})"
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (reference dialect)
+# ---------------------------------------------------------------------------
+
+
+class _RefYamlLoader(yaml.SafeLoader):
+    """SafeLoader extended with the two non-standard constructs the
+    reference configs use."""
+
+
+def _construct_eval(loader, node):
+    # ref: `MIN_SIZE_TRAIN: !!python/object/apply:eval ["[int(x*0.1*224) ...]"]`
+    args = loader.construct_sequence(node)
+    (expr,) = args
+    # Only arithmetic/list comprehensions appear in the reference configs;
+    # evaluate with empty globals to keep this from being an injection point.
+    return eval(expr, {"__builtins__": {"int": int, "range": range, "float": float}})  # noqa: S307
+
+
+_RefYamlLoader.add_constructor("tag:yaml.org,2002:python/object/apply:eval", _construct_eval)
+
+
+def _eval_tuple_strings(obj):
+    """The reference yamls write tuples as strings (`TRAIN: ("x",)`,
+    `SIZE: (224, 224)`); evaluate those to real tuples recursively."""
+    if isinstance(obj, dict):
+        return {k: _eval_tuple_strings(v) for k, v in obj.items()}
+    if isinstance(obj, str):
+        s = obj.strip()
+        if s.startswith("(") and s.endswith(")"):
+            try:
+                return ast.literal_eval(s)
+            except (ValueError, SyntaxError):
+                return obj
+    return obj
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_yaml_with_base(path: str) -> dict:
+    """Load a YAML file, resolving ``_BASE_`` inheritance recursively.
+
+    Duplicate top-level keys in one file (the reference S4 yaml repeats
+    ``MODEL:``) are deep-merged rather than replaced, matching what users
+    of those files expect.
+    """
+    with open(path) as f:
+        docs = yaml.load_all(f, Loader=_RefYamlLoader)
+        merged: dict = {}
+        for doc in docs:
+            if doc:
+                merged = _deep_merge(merged, doc)
+    cfg = merged
+
+    base = cfg.pop("_BASE_", None)
+    if base is not None:
+        base_path = base if os.path.isabs(base) else os.path.join(os.path.dirname(path), base)
+        cfg = _deep_merge(load_yaml_with_base(base_path), cfg)
+    return cfg
+
+
+# yaml.SafeLoader turns duplicate mapping keys into "last wins" silently; the
+# reference's S4 base yaml has two MODEL: blocks that must BOTH apply. Patch
+# mapping construction to deep-merge duplicates.
+def _construct_mapping(loader, node, deep=False):
+    mapping: dict = {}
+    for key_node, value_node in node.value:
+        key = loader.construct_object(key_node, deep=True)
+        value = loader.construct_object(value_node, deep=True)
+        if key in mapping and isinstance(mapping[key], dict) and isinstance(value, dict):
+            mapping[key] = _deep_merge(mapping[key], value)
+        else:
+            mapping[key] = value
+    return mapping
+
+
+_RefYamlLoader.add_constructor(
+    yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _construct_mapping
+)
+
+
+# ---------------------------------------------------------------------------
+# Defaults — same key surface as the reference config tree
+# (ref: models/config.py:6-149 plus the detectron2 keys the yamls touch)
+# ---------------------------------------------------------------------------
+
+
+def get_cfg() -> CfgNode:
+    c = CfgNode()
+
+    c.VERSION = 2
+    c.OUTPUT_DIR = "./output"
+    c.SEED = -1
+
+    # ---- MODEL ----
+    m = c.MODEL = CfgNode()
+    m.META_ARCHITECTURE = "MaskFormer"
+    m.DEVICE = "tpu"
+    m.WEIGHTS = ""
+    m.PIXEL_MEAN = [123.675, 116.280, 103.530]
+    m.PIXEL_STD = [58.395, 57.120, 57.375]
+
+    m.BACKBONE = CfgNode()
+    m.BACKBONE.NAME = "build_resnet_backbone"
+    m.BACKBONE.FREEZE_AT = 0
+
+    m.RESNETS = CfgNode()
+    m.RESNETS.DEPTH = 50
+    m.RESNETS.NORM = "FrozenBN"
+    m.RESNETS.STEM_TYPE = "basic"
+    m.RESNETS.STEM_OUT_CHANNELS = 64
+    m.RESNETS.RES2_OUT_CHANNELS = 256
+    m.RESNETS.STRIDE_IN_1X1 = False
+    m.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    m.RESNETS.RES5_MULTI_GRID = [1, 1, 1]
+
+    m.PVT = CfgNode()
+    m.PVT.NAME = "b5"
+    m.PVT.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    m.PVT.DROP_PATH_RATE = 0.1
+
+    m.SWIN = CfgNode()  # key surface kept for config compat; not built
+    m.SWIN.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+
+    # audio (ref: models/config.py:6-12)
+    m.AUDIO = CfgNode()
+    m.AUDIO.FREEZE_AUDIO_EXTRACTOR = True
+    m.AUDIO.PRETRAINED_VGGISH_MODEL_PATH = "pretrained/vggish-10086976.pth"
+    m.AUDIO.PREPROCESS_AUDIO_TO_LOG_MEL = False
+    m.AUDIO.POSTPROCESS_LOG_MEL_WITH_PCA = False
+    m.AUDIO.PRETRAINED_PCA_PARAMS_PATH = "pretrained/vggish_pca_params-970ea276.pth"
+
+    # fusion (ref: models/config.py:15-32)
+    m.FUSE_CONFIG = CfgNode()
+    m.FUSE_CONFIG.FUSION_STEP = "early"
+    m.FUSE_CONFIG.TYPE = "MHA-B"
+    m.FUSE_CONFIG.AUDIO_DIM = 1024
+    m.FUSE_CONFIG.FUSED_BACKBONE = []
+    m.FUSE_CONFIG.FUSED_BACKBONE_DIM = []
+    m.FUSE_CONFIG.NUM_FRAMES = 5
+    m.FUSE_CONFIG.QUERIES_FUSE_TYPE = "add"
+    m.FUSE_CONFIG.AUDIO_OUT_DIM = 256
+
+    m.MOBILE_SAM = CfgNode()
+    m.MOBILE_SAM.USE_MOBILE_SAM = False
+    m.MOBILE_SAM.CHECKPOINT = ""
+
+    m.PRE_SAM = CfgNode()
+    m.PRE_SAM.USE_PRE_SAM = False
+    m.PRE_SAM.PRE_SAM_DIM = [256, 512, 1024, 2048]
+    m.PRE_SAM.PRE_SAM_FEATURE_SIZE = [56, 28, 14, 7]
+
+    # head (detectron2 SEM_SEG_HEAD surface + maskformer2 additions)
+    h = m.SEM_SEG_HEAD = CfgNode()
+    h.NAME = "MaskFormerHead"
+    h.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    h.IGNORE_VALUE = 255
+    h.NUM_CLASSES = 2
+    h.LOSS_WEIGHT = 1.0
+    h.CONVS_DIM = 256
+    h.MASK_DIM = 256
+    h.NORM = "GN"
+    h.COMMON_STRIDE = 4
+    h.PIXEL_DECODER_NAME = "MSDeformAttnPixelDecoder"
+    h.TRANSFORMER_ENC_LAYERS = 6
+    h.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = ["res3", "res4", "res5"]
+    h.DEFORMABLE_TRANSFORMER_ENCODER_N_POINTS = 4
+    h.DEFORMABLE_TRANSFORMER_ENCODER_N_HEADS = 8
+
+    # mask former (ref: models/config.py:60-102,126-149)
+    f = m.MASK_FORMER = CfgNode()
+    f.TRANSFORMER_DECODER_NAME = "MultiScaleMaskedTransformerDecoder"
+    f.TRANSFORMER_IN_FEATURE = "multi_scale_pixel_decoder"
+    f.DEEP_SUPERVISION = True
+    f.NO_OBJECT_WEIGHT = 0.1
+    f.CLASS_WEIGHT = 1.0
+    f.DICE_WEIGHT = 1.0
+    f.MASK_WEIGHT = 20.0
+    f.COSINE_WEIGHT = 1.0
+    f.NHEADS = 8
+    f.DROPOUT = 0.1
+    f.DIM_FEEDFORWARD = 2048
+    f.ENC_LAYERS = 0
+    f.DEC_LAYERS = 6
+    f.PRE_NORM = False
+    f.HIDDEN_DIM = 256
+    f.NUM_OBJECT_QUERIES = 100
+    f.ENFORCE_INPUT_PROJ = False
+    f.SIZE_DIVISIBILITY = 32
+    f.TRAIN_NUM_POINTS = 112 * 112
+    f.OVERSAMPLE_RATIO = 3.0
+    f.IMPORTANCE_SAMPLE_RATIO = 0.75
+    f.TEST = CfgNode()
+    f.TEST.SEMANTIC_ON = True
+    f.TEST.INSTANCE_ON = False
+    f.TEST.PANOPTIC_ON = False
+    f.TEST.OBJECT_MASK_THRESHOLD = 0.0
+    f.TEST.OVERLAP_THRESHOLD = 0.0
+    f.TEST.SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE = False
+
+    # ---- INPUT ----
+    i = c.INPUT = CfgNode()
+    i.AUGMENTATION = True
+    i.MIN_SIZE_TRAIN = [224]
+    i.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    i.MIN_SIZE_TEST = 224
+    i.MAX_SIZE_TRAIN = 896
+    i.MAX_SIZE_TEST = 896
+    i.CROP = CfgNode()
+    i.CROP.ENABLED = False
+    i.CROP.TYPE = "absolute"
+    i.CROP.SIZE = (224, 224)
+    i.CROP.SINGLE_CATEGORY_MAX_AREA = 1.0
+    i.COLOR_AUG_SSD = False
+    i.SIZE_DIVISIBILITY = -1
+    i.FORMAT = "RGB"
+    i.DATASET_MAPPER_NAME = "avss4_semantic"
+    i.RANDOM_FLIP = "horizontal"
+    i.IMAGE_SIZE = 1024
+    i.MIN_SCALE = 0.1
+    i.MAX_SCALE = 2.0
+
+    # ---- DATASETS / DATALOADER ----
+    c.DATASETS = CfgNode()
+    c.DATASETS.TRAIN = ("avss4_sem_seg_train",)
+    c.DATASETS.TEST = ("avss4_sem_seg_val",)
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 8
+    c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    # ---- SOLVER ----
+    s = c.SOLVER = CfgNode()
+    s.IMS_PER_BATCH = 8
+    s.BASE_LR = 0.0001
+    s.MAX_ITER = 90000
+    s.WARMUP_FACTOR = 1.0
+    s.WARMUP_ITERS = 0
+    s.WEIGHT_DECAY = 0.05
+    s.WEIGHT_DECAY_NORM = 0.0
+    s.WEIGHT_DECAY_EMBED = 0.0
+    s.OPTIMIZER = "ADAMW"
+    s.LR_SCHEDULER_NAME = "WarmupPolyLR"
+    s.POLY_LR_POWER = 0.9
+    s.POLY_LR_CONSTANT_ENDING = 0.0
+    s.BACKBONE_MULTIPLIER = 0.1
+    s.MOMENTUM = 0.9
+    s.CHECKPOINT_PERIOD = 5000
+    s.CLIP_GRADIENTS = CfgNode()
+    s.CLIP_GRADIENTS.ENABLED = False
+    s.CLIP_GRADIENTS.CLIP_TYPE = "full_model"
+    s.CLIP_GRADIENTS.CLIP_VALUE = 0.01
+    s.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    s.AMP = CfgNode()
+    s.AMP.ENABLED = False
+
+    # ---- TEST ----
+    t = c.TEST = CfgNode()
+    t.EVAL_PERIOD = 5000
+    t.AUG = CfgNode()
+    t.AUG.ENABLED = False
+    t.AUG.MIN_SIZES = [128, 224, 384]
+    t.AUG.MAX_SIZE = 1536
+    t.AUG.FLIP = True
+
+    return c
+
+
+def setup_cfg(config_file: str | None = None, opts: list | None = None, freeze: bool = True) -> CfgNode:
+    """Build a full config: defaults <- yaml file <- CLI overrides."""
+    cfg = get_cfg()
+    if config_file:
+        cfg.merge_from_file(config_file)
+    if opts:
+        cfg.merge_from_list(list(opts))
+    if freeze:
+        cfg.freeze()
+    return cfg
