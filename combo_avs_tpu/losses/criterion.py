@@ -1,0 +1,217 @@
+"""Set criterion: Hungarian-matched CE + PointRend mask/dice losses + the
+adaptive inter-frame cosine consistency loss.
+
+Reimplements the reference `SetCriterion`/`SetCriterion_SS`
+(ref: models/modeling/criterion.py:87-305, criterion_ss.py:238-288) with a
+static-shape design:
+
+* Targets are padded to K instance slots per frame (`labels [N, K]`,
+  `masks [N, K, H, W]`, `valid [N, K]`).
+* The reference's dynamic frame selection — S4 "first annotated frame only"
+  (ref: criterion.py:241-254) and AVSS `gt_temporal_mask_flag` indexing
+  (ref: criterion_ss.py:246-257) — becomes a per-frame weight vector
+  `frame_weight [N]`: frames with weight 0 contribute nothing to any matched
+  loss, exactly like being dropped.
+* `num_masks` normalization is computed on the global (pjit-sharded) batch,
+  replacing the reference's explicit all_reduce (ref: criterion.py:260-265).
+
+Losses (ref formulas):
+* loss_ce: CE over all queries vs matched classes, no-object weighted by
+  eos_coef (ref :121-135),
+* loss_mask / loss_dice: sigmoid-CE and dice on `num_points`
+  importance-sampled points (75% most-uncertain of a 3x oversample + 25%
+  random — PointRend; ref :137-186),
+* loss_cosine: adjacent-frame cosine distance of intermediate mask
+  predictions, self-weighted by exp(-loss) ("adaptive"; ref :208-231).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from combo_avs_tpu.losses.matcher import HungarianMatcher
+from combo_avs_tpu.ops.grid_sample import point_sample
+
+
+def uncertainty_sampled_points(
+    key: jax.Array,
+    mask_logits: jnp.ndarray,  # [M, h, w]
+    num_points: int,
+    oversample_ratio: float,
+    importance_sample_ratio: float,
+) -> jnp.ndarray:
+    """PointRend point selection (ref: criterion.py:158-166 via detectron2
+    `get_uncertain_point_coords_with_randomness`); returns [M, num_points, 2]."""
+    M = mask_logits.shape[0]
+    n_sampled = int(num_points * oversample_ratio)
+    n_uncertain = int(num_points * importance_sample_ratio)
+    n_random = num_points - n_uncertain
+
+    k1, k2 = jax.random.split(key)
+    coords = jax.random.uniform(k1, (M, n_sampled, 2))
+    logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
+    uncertainty = -jnp.abs(logits)
+    _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+    top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    rand_coords = jax.random.uniform(k2, (M, n_random, 2))
+    return jax.lax.stop_gradient(jnp.concatenate([top_coords, rand_coords], axis=1))
+
+
+class SetCriterion:
+    def __init__(
+        self,
+        num_classes: int,
+        matcher: HungarianMatcher,
+        eos_coef: float = 0.1,
+        num_points: int = 12544,
+        oversample_ratio: float = 3.0,
+        importance_sample_ratio: float = 0.75,
+        cosine_n_frame: int = 5,
+    ):
+        self.num_classes = num_classes
+        self.matcher = matcher
+        self.eos_coef = eos_coef
+        self.num_points = num_points
+        self.oversample_ratio = oversample_ratio
+        self.importance_sample_ratio = importance_sample_ratio
+        self.cosine_n_frame = cosine_n_frame
+
+    # ------------------------------------------------------------------
+    def _loss_labels(self, pred_logits, labels, valid, assign, frame_weight):
+        N, Q, _ = pred_logits.shape
+        target_classes = jnp.full((N, Q), self.num_classes, jnp.int32)
+        safe_assign = jnp.where(valid, assign, Q)  # Q = out of bounds -> dropped
+        target_classes = target_classes.at[
+            jnp.arange(N)[:, None], safe_assign
+        ].set(labels, mode="drop")
+
+        logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+        empty_weight = jnp.where(target_classes == self.num_classes, self.eos_coef, 1.0)
+        w = empty_weight * frame_weight[:, None]
+        return (nll * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+    # ------------------------------------------------------------------
+    def _loss_masks(self, key, pred_masks, tgt_masks, valid, assign, num_masks):
+        N, Q, h, w = pred_masks.shape
+        K = tgt_masks.shape[1]
+        safe_assign = jnp.clip(jnp.where(valid, assign, 0), 0, Q - 1)
+        src = jnp.take_along_axis(
+            pred_masks, safe_assign[:, :, None, None], axis=1
+        )  # [N, K, h, w]
+
+        src_f = src.reshape(N * K, h, w).astype(jnp.float32)
+        tgt_f = tgt_masks.reshape(N * K, *tgt_masks.shape[2:]).astype(jnp.float32)
+        coords = uncertainty_sampled_points(
+            key, jax.lax.stop_gradient(src_f), self.num_points,
+            self.oversample_ratio, self.importance_sample_ratio,
+        )
+        point_logits = point_sample(src_f[..., None], coords)[..., 0]  # [NK, P]
+        point_labels = jax.lax.stop_gradient(
+            point_sample(tgt_f[..., None], coords)[..., 0]
+        )
+
+        vmask = valid.reshape(N * K).astype(jnp.float32)
+        # sigmoid CE, mean over points then sum over valid masks (ref :40-62)
+        ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
+            -jnp.abs(point_logits)
+        )
+        loss_mask = ((ce.mean(-1) * vmask).sum()) / num_masks
+        # dice (ref :17-37)
+        p = jax.nn.sigmoid(point_logits)
+        numerator = 2.0 * (p * point_labels).sum(-1)
+        denominator = p.sum(-1) + point_labels.sum(-1)
+        dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+        loss_dice = (dice * vmask).sum() / num_masks
+        return loss_mask, loss_dice
+
+    # ------------------------------------------------------------------
+    def _loss_cosine(self, middle: jnp.ndarray) -> jnp.ndarray:
+        """middle [N, Q, HW]; adjacent-frame adaptive cosine loss
+        (ref: criterion.py:208-231)."""
+        n_frame = self.cosine_n_frame
+        N = middle.shape[0]
+        bs = N // n_frame
+        m = middle.reshape(bs, n_frame, -1).astype(jnp.float32)
+
+        def cos_dist(a, b):
+            denom = jnp.maximum(
+                jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-8
+            )
+            return 1.0 - (a * b).sum(-1) / denom
+
+        total = jnp.zeros((bs,), jnp.float32)
+        for f in range(n_frame - 1):
+            d = cos_dist(m[:, f], m[:, f + 1])
+            total = total + d * jnp.exp(-d)  # adaptive weighting
+        return total.sum() / bs / (n_frame - 1)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        key: jax.Array,
+        outputs: Dict[str, object],
+        targets: Dict[str, jnp.ndarray],
+        frame_weight: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """outputs: model output dict; targets: labels [N,K] int, masks
+        [N,K,H,W], valid [N,K] bool. frame_weight [N] (None = all ones)."""
+        labels = targets["labels"]
+        tgt_masks = targets["masks"]
+        valid0 = targets["valid"]
+        N, K = labels.shape
+        if frame_weight is None:
+            frame_weight = jnp.ones((N,), jnp.float32)
+        valid = valid0 & (frame_weight[:, None] > 0)
+
+        num_masks = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+
+        layers = [(outputs["pred_logits"], outputs["pred_masks"], "")] + [
+            (a["pred_logits"], a["pred_masks"], f"_{i}")
+            for i, a in enumerate(outputs.get("aux_outputs", []))
+        ]
+        losses: Dict[str, jnp.ndarray] = {}
+        keys = jax.random.split(key, 2 * len(layers))
+        for j, (logits, masks, suffix) in enumerate(layers):
+            assign = self.matcher(keys[2 * j], logits, masks, labels, tgt_masks, valid)
+            losses[f"loss_ce{suffix}"] = self._loss_labels(
+                logits, labels, valid, assign, frame_weight
+            )
+            lm, ld = self._loss_masks(keys[2 * j + 1], masks, tgt_masks, valid, assign, num_masks)
+            losses[f"loss_mask{suffix}"] = lm
+            losses[f"loss_dice{suffix}"] = ld
+
+        for i, middle in enumerate(outputs.get("middles_attn_mask", [])):
+            losses[f"loss_cosine_{i}"] = self._loss_cosine(middle)
+
+        return losses
+
+
+def build_weight_dict(cfg) -> Dict[str, float]:
+    """Loss-name -> weight map incl. per-aux-layer copies
+    (ref: maskformer_model.py:192-238)."""
+    mf = cfg.MODEL.MASK_FORMER
+    base = {
+        "loss_ce": mf.CLASS_WEIGHT,
+        "loss_mask": mf.MASK_WEIGHT,
+        "loss_dice": mf.DICE_WEIGHT,
+    }
+    out = dict(base)
+    dec_layers = mf.DEC_LAYERS - 1
+    for i in range(dec_layers):
+        for k, v in base.items():
+            out[f"{k}_{i}"] = v
+    if mf.COSINE_WEIGHT > 0:
+        for i in range(dec_layers):
+            out[f"loss_cosine_{i}"] = mf.COSINE_WEIGHT
+    return out
+
+
+def total_loss(losses: Dict[str, jnp.ndarray], weight_dict: Dict[str, float]) -> jnp.ndarray:
+    unknown = set(losses) - set(weight_dict)
+    if unknown:
+        raise ValueError(f"losses without weights: {sorted(unknown)}")
+    return sum(losses[k] * weight_dict[k] for k in losses)
