@@ -15,7 +15,7 @@ def _tiny_model(**kw):
     return MaskFormer(dec_layers=2, enc_layers=1, num_queries=5, **kw)
 
 
-def _batch(B=1, T=2, size=64):
+def _batch(B=1, T=2, size=32):
     rng = np.random.RandomState(0)
     return (
         (rng.rand(B, T, size, size, 3) * 255).astype(np.float32),
@@ -30,11 +30,11 @@ def test_forward_and_semantic_inference():
     v = m.init(jax.random.PRNGKey(0), imgs, mel, pre)
     out = m.apply(v, imgs, mel, pre)
     assert out["pred_logits"].shape == (2, 5, 3)
-    assert out["pred_masks"].shape == (2, 5, 16, 16)
+    assert out["pred_masks"].shape == (2, 5, 8, 8)
     assert len(out["aux_outputs"]) == 2
     assert len(out["middles_attn_mask"]) == 2
-    sem = semantic_inference(out["pred_logits"], out["pred_masks"], out_size=(64, 64))
-    assert sem.shape == (2, 2, 64, 64)
+    sem = semantic_inference(out["pred_logits"], out["pred_masks"], out_size=(32, 32))
+    assert sem.shape == (2, 2, 32, 32)
     s = np.asarray(sem)
     # semseg sums softmax-prob x sigmoid over queries: bounded by [0, Q]
     assert s.min() >= 0 and s.max() <= 5
@@ -63,7 +63,7 @@ def test_train_loss_end_to_end():
     rng = np.random.RandomState(1)
     targets = {
         "labels": rng.randint(0, 2, (2, K)).astype(np.int32),
-        "masks": (rng.rand(2, K, 64, 64) > 0.5).astype(np.float32),
+        "masks": (rng.rand(2, K, 32, 32) > 0.5).astype(np.float32),
         "valid": np.array([[True, True, False], [True, False, False]]),
     }
     crit = SetCriterion(num_classes=2, matcher=HungarianMatcher(num_points=128),
