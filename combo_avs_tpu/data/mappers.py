@@ -1,0 +1,270 @@
+"""Per-video dataset mappers: decode, augment, build static-shape targets.
+
+Mirrors the reference mappers (ref: models/data/dataset_mappers/
+avss4_semantic_dataset_mapper.py:60-240 and siblings):
+
+* ONE augmentation sample per video, replayed on every frame (ref :154-166),
+* train augs: ResizeShortestEdge (choice of scales), absolute random crop,
+  SSD color jitter, random horizontal flip (ref :70-95),
+* GT pngs // 255 -> {0,1} for S4/MS3 (ref :139); AVSS labels are index maps,
+* pad image/Maskige to SIZE_DIVISIBILITY with 128, GT with ignore (255)
+  (ref :176-188),
+* per-frame instance targets from the unique classes present
+  (ref :196-230) — here padded into K static slots with a valid mask,
+* audio log-mel from the dataset pickle (ref :61-66).
+
+Output per video (numpy, static shapes):
+  images [T, S, S, 3] float32 raw RGB, pre_masks [T, S, S, 3],
+  audio_log_mel [T, 96, 64], labels [T, K] int32, masks [T, K, S, S] float32,
+  valid [T, K] bool, gt_temporal_mask [T], vid_temporal_mask [T].
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+
+def read_image(path: str, gray: bool = False) -> np.ndarray:
+    flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+    img = cv2.imread(path, flag)
+    if img is None:
+        raise FileNotFoundError(path)
+    if not gray:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# transforms (sample once per video, replay on all frames)
+# ---------------------------------------------------------------------------
+
+
+class VideoTransform:
+    """A sampled, replayable transform: resize -> crop -> color -> flip."""
+
+    def __init__(self, new_hw, crop_yx, crop_size, flip, color_params):
+        self.new_hw = new_hw
+        self.crop_yx = crop_yx
+        self.crop_size = crop_size
+        self.flip = flip
+        self.color_params = color_params
+
+    def apply_image(self, img: np.ndarray, color: bool = True) -> np.ndarray:
+        out = cv2.resize(img, (self.new_hw[1], self.new_hw[0]), interpolation=cv2.INTER_LINEAR)
+        out = self._crop(out)
+        if color and self.color_params is not None:
+            out = _apply_ssd_color(out, self.color_params)
+        if self.flip:
+            out = out[:, ::-1]
+        return np.ascontiguousarray(out)
+
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        out = cv2.resize(
+            seg.astype(np.uint8), (self.new_hw[1], self.new_hw[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        out = self._crop(out)
+        if self.flip:
+            out = out[:, ::-1]
+        return np.ascontiguousarray(out)
+
+    def _crop(self, x):
+        if self.crop_yx is None:
+            return x
+        y, xx = self.crop_yx
+        ch, cw = self.crop_size
+        return x[y : y + ch, xx : xx + cw]
+
+
+def _apply_ssd_color(img: np.ndarray, p: dict) -> np.ndarray:
+    """SSD photometric distortion (d2 ColorAugSSDTransform semantics):
+    brightness delta, contrast, HSV saturation, hue delta."""
+    out = img.astype(np.float32)
+    if p["brightness"] is not None:
+        out = out + p["brightness"]
+    if p["contrast_first"] and p["contrast"] is not None:
+        out = out * p["contrast"]
+    hsv = cv2.cvtColor(np.clip(out, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
+    if p["saturation"] is not None:
+        hsv[..., 1] = np.clip(hsv[..., 1] * p["saturation"], 0, 255)
+    if p["hue"] is not None:
+        hsv[..., 0] = (hsv[..., 0] + p["hue"]) % 180
+    out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+    if (not p["contrast_first"]) and p["contrast"] is not None:
+        out = out * p["contrast"]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def sample_video_transform(
+    rng: np.random.RandomState,
+    hw,
+    min_sizes: Sequence[int],
+    max_size: int,
+    crop_size: Optional[tuple],
+    color_aug: bool,
+    flip: bool,
+) -> VideoTransform:
+    h, w = hw
+    short = int(min_sizes[rng.randint(len(min_sizes))])
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+
+    crop_yx = None
+    csize = None
+    if crop_size is not None:
+        ch, cw = min(crop_size[0], nh), min(crop_size[1], nw)
+        crop_yx = (rng.randint(nh - ch + 1), rng.randint(nw - cw + 1))
+        csize = (ch, cw)
+
+    color = None
+    if color_aug:
+        color = {
+            "brightness": rng.uniform(-32, 32) if rng.rand() < 0.5 else None,
+            "contrast": rng.uniform(0.5, 1.5) if rng.rand() < 0.5 else None,
+            "contrast_first": bool(rng.rand() < 0.5),
+            "saturation": rng.uniform(0.5, 1.5) if rng.rand() < 0.5 else None,
+            "hue": rng.uniform(-18, 18) if rng.rand() < 0.5 else None,
+        }
+    return VideoTransform((nh, nw), crop_yx, csize, flip and rng.rand() < 0.5, color)
+
+
+def _pad_to(x: np.ndarray, size: int, value: float) -> np.ndarray:
+    h, w = x.shape[:2]
+    if h >= size and w >= size:
+        return x[:size, :size]
+    pad = [(0, max(0, size - h)), (0, max(0, size - w))] + [(0, 0)] * (x.ndim - 2)
+    return np.pad(x, pad, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# mapper
+# ---------------------------------------------------------------------------
+
+
+class AVSSemanticDatasetMapper:
+    """One mapper for all three benchmarks; behavior differences come from
+    the record flags and `binary_gt` (S4/MS3 vs AVSS index labels)."""
+
+    def __init__(
+        self,
+        is_train: bool,
+        augmentation: bool = True,
+        min_sizes: Sequence[int] = tuple(int(x * 0.1 * 224) for x in range(5, 21)),
+        max_size: int = 896,
+        crop_size: Optional[tuple] = (224, 224),
+        color_aug: bool = True,
+        size_divisibility: int = 224,
+        ignore_label: int = 255,
+        max_instances: int = 8,
+        binary_gt: bool = True,
+        use_pre_sam: bool = True,
+        geometric_aug: bool = True,
+        seed: int = 0,
+    ):
+        self.is_train = is_train
+        self.augmentation = augmentation and is_train
+        self.min_sizes = min_sizes
+        self.max_size = max_size
+        self.crop_size = crop_size
+        self.color_aug = color_aug
+        self.size_divisibility = size_divisibility
+        self.ignore_label = ignore_label
+        self.max_instances = max_instances
+        self.binary_gt = binary_gt
+        self.use_pre_sam = use_pre_sam
+        # AVSS uses no geometric augs, frames are pre-resized offline
+        # (ref: avss_semantic_dataset_mapper.py builds augs=[]).
+        self.geometric_aug = geometric_aug
+        self.rng = np.random.RandomState(seed)
+
+    def _load_audio(self, path: str) -> np.ndarray:
+        with open(path, "rb") as f:
+            mel = pickle.load(f)
+        mel = np.asarray(
+            mel.detach().numpy() if hasattr(mel, "detach") else mel, np.float32
+        )
+        return mel.reshape(mel.shape[0], 96, 64)  # [T, 96, 64]
+
+    def __call__(self, record: Dict) -> Dict[str, np.ndarray]:
+        T = record["num_frames"]
+        images = [read_image(p) for p in record["file_names"]]
+        gts: List[Optional[np.ndarray]] = [None] * T
+        for i, p in enumerate(record.get("sem_seg_file_names", [])[:T]):
+            g = read_image(p, gray=True)
+            gts[i] = (g // 255).astype(np.int32) if self.binary_gt else g.astype(np.int32)
+        pres = None
+        if self.use_pre_sam and record.get("pre_mask_file_names"):
+            pres = [read_image(p) for p in record["pre_mask_file_names"][:T]]
+
+        if self.augmentation and self.geometric_aug:
+            tf = sample_video_transform(
+                self.rng, images[0].shape[:2], self.min_sizes, self.max_size,
+                self.crop_size, self.color_aug, flip=True,
+            )
+        elif self.augmentation:
+            tf = sample_video_transform(
+                self.rng, images[0].shape[:2], [min(images[0].shape[:2])],
+                self.max_size, None, self.color_aug, flip=False,
+            )
+        else:
+            tf = None
+
+        S = self.size_divisibility if self.size_divisibility > 0 else images[0].shape[0]
+        out_images, out_pres, out_gts = [], [], []
+        for i in range(T):
+            img = images[i] if i < len(images) else np.zeros_like(images[0])
+            if tf is not None:
+                img = tf.apply_image(img)
+            out_images.append(_pad_to(img, S, 128).astype(np.float32))
+            if pres is not None:
+                pm = pres[i] if i < len(pres) else np.zeros_like(pres[0])
+                pm = tf.apply_image(pm, color=False) if tf is not None else pm
+                out_pres.append(_pad_to(pm, S, 128).astype(np.float32))
+            g = gts[i]
+            if g is not None:
+                if tf is not None:
+                    g = tf.apply_segmentation(g)
+                g = _pad_to(g, S, self.ignore_label)
+            out_gts.append(g)
+
+        K = self.max_instances
+        labels = np.zeros((T, K), np.int32)
+        masks = np.zeros((T, K, S, S), np.float32)
+        valid = np.zeros((T, K), bool)
+        for i, g in enumerate(out_gts):
+            if g is None:
+                continue
+            classes = np.unique(g)
+            classes = classes[classes != self.ignore_label][:K]
+            for k, c in enumerate(classes):
+                labels[i, k] = c
+                masks[i, k] = (g == c).astype(np.float32)
+                valid[i, k] = True
+
+        mel = self._load_audio(record["audio_file_name"])
+        if mel.shape[0] < T:
+            mel = np.pad(mel, ((0, T - mel.shape[0]), (0, 0), (0, 0)))
+        mel = mel[:T]
+
+        out = {
+            "images": np.stack(out_images),
+            "audio_log_mel": mel.astype(np.float32),
+            "labels": labels,
+            "masks": masks,
+            "valid": valid,
+            "gt_temporal_mask": np.asarray(record["gt_temporal_mask_flag"], np.float32)[:T],
+            "vid_temporal_mask": np.asarray(record["vid_temporal_mask_flag"], np.float32)[:T],
+            "sem_segs": np.stack(
+                [g if g is not None else np.full((S, S), self.ignore_label, np.int32)
+                 for g in out_gts]
+            ),
+        }
+        if out_pres:
+            out["pre_masks"] = np.stack(out_pres)
+        return out

@@ -1,0 +1,112 @@
+"""Benchmark metrics, replicated exactly from the reference.
+
+* `mask_iou`: binarize foreground prob > 0.5; frames with empty GT count
+  true-negatives as intersection and all pixels as union
+  (ref: models/evaluation/sem_seg_evaluation.py:66-92).
+* `eval_fmeasure`: max over a 255-threshold precision/recall sweep with
+  beta^2 = 0.3, skipping empty-GT frames
+  (ref: sem_seg_evaluation.py:95-137).
+* `batch_miou_fscore`: AVSS per-class histogram IoU/F over `nclass` classes
+  with per-class presence counts (ref: sem_seg_evaluation_ss.py:66-118).
+
+All functions are numpy (they run host-side on eval outputs); the threshold
+sweep is vectorized instead of the reference's python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+EPS = 1e-7
+
+
+def mask_iou(pred: np.ndarray, target: np.ndarray, eps: float = EPS) -> float:
+    """pred: [N, H, W] foreground probabilities; target: [N, H, W] binary."""
+    assert pred.ndim == 3 and pred.shape == target.shape
+    N = pred.shape[0]
+    num_pixels = pred.shape[-1] * pred.shape[-2]
+    p = (pred > 0.5).astype(np.int64)
+    t = (target > 0).astype(np.int64)
+
+    inter = (p * t).sum(axis=(1, 2))
+    union = np.maximum(p, t).sum(axis=(1, 2))
+    no_obj = t.sum(axis=(1, 2)) == 0
+    inter_no_obj = ((1 - t) * (1 - p)).sum(axis=(1, 2))
+    inter = np.where(no_obj, inter_no_obj, inter)
+    union = np.where(no_obj, num_pixels, union)
+    return float((inter / (union + eps)).sum() / N)
+
+
+def eval_fmeasure(pred: np.ndarray, gt: np.ndarray, pr_num: int = 255) -> float:
+    """Max-F over thresholds, averaged over non-empty-GT frames."""
+    N = pred.shape[0]
+    beta2 = 0.3
+    thresholds = np.linspace(0, 1 - 1e-10, pr_num, dtype=np.float64)
+
+    avg_f = np.zeros(pr_num, np.float64)
+    img_num = 0
+    for i in range(N):
+        g = (gt[i] > 0).astype(np.float64)
+        if g.mean() == 0.0:
+            continue
+        p = pred[i].astype(np.float64).reshape(-1)
+        gflat = g.reshape(-1)
+        # vectorized sweep: tp per threshold
+        y = p[None, :] >= thresholds[:, None]  # [pr_num, HW]
+        tp = (y * gflat[None, :]).sum(-1)
+        prec = tp / (y.sum(-1) + 1e-20)
+        recall = tp / (gflat.sum() + 1e-20)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = (1 + beta2) * prec * recall / (beta2 * prec + recall)
+        f = np.nan_to_num(f, nan=0.0)
+        avg_f += f
+        img_num += 1
+    if img_num == 0:
+        return 0.0
+    return float((avg_f / img_num).max())
+
+
+def _histc(values: np.ndarray, nbins: int, mini: float, maxi: float) -> np.ndarray:
+    """torch.histc semantics: nbins equal bins over [mini, maxi], values
+    outside excluded, value == maxi lands in the last bin."""
+    v = values.reshape(-1).astype(np.float64)
+    keep = (v >= mini) & (v <= maxi)
+    v = v[keep]
+    width = (maxi - mini) / nbins
+    idx = np.floor((v - mini) / width).astype(np.int64)
+    idx = np.minimum(idx, nbins - 1)
+    return np.bincount(idx, minlength=nbins).astype(np.float64)
+
+
+def batch_miou_fscore(
+    output: np.ndarray,  # [N, C, H, W] class scores (softmaxed or not -- argmax)
+    target: np.ndarray,  # [N, H, W] int labels in [0, C-1]
+    nclass: int,
+    beta2: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (iou_sum[C], fscore_sum[C], class_presence_count[C]) summed
+    over the N frames."""
+    predict = output.argmax(axis=1).astype(np.float64) + 1
+    tgt = target.astype(np.float64) + 1
+    predict = predict * (tgt > 0)
+    intersection = predict * (predict == tgt)
+
+    ious = np.zeros(nclass, np.float64)
+    fscores = np.zeros(nclass, np.float64)
+    cls_count = np.zeros(nclass, np.float64)
+    for i in range(target.shape[0]):
+        area_inter = _histc(intersection[i], nclass, 1, nclass)
+        area_pred = _histc(predict[i], nclass, 1, nclass)
+        area_lab = _histc(tgt[i], nclass, 1, nclass)
+        area_union = area_pred + area_lab - area_inter
+        iou = area_inter / (2.220446049250313e-16 + area_union)
+        ious += iou
+        cls_count[np.nonzero(area_union)[0]] += 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            precision = area_inter / area_pred
+            recall = area_inter / area_lab
+            f = (1 + beta2) * precision * recall / (beta2 * precision + recall)
+        fscores += np.nan_to_num(f, nan=0.0)
+    return ious, fscores, cls_count

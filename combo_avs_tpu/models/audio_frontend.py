@@ -127,7 +127,14 @@ def waveform_to_examples(data: np.ndarray, sample_rate: int) -> jnp.ndarray:
 
 def wavfile_to_examples(path: str) -> jnp.ndarray:
     """Read a wav file (int16 scaled to [-1, 1]) and convert to examples."""
-    import soundfile as sf
+    try:
+        import soundfile as sf
 
-    data, sr = sf.read(path, dtype="int16")
+        data, sr = sf.read(path, dtype="int16")
+    except ImportError:  # soundfile not in this image; scipy handles plain wavs
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        if data.dtype != np.int16:
+            raise ValueError(f"expected int16 wav, got {data.dtype} in {path}")
     return waveform_to_examples(data / 32768.0, sr)

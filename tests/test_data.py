@@ -1,0 +1,148 @@
+"""Data layer tests on a synthetic on-disk dataset in the AVSBench layout."""
+
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+from combo_avs_tpu.data.catalogs import (
+    load_avsms3_records,
+    load_avss4_records,
+    load_avss_records,
+)
+from combo_avs_tpu.data.loader import TrainLoader, eval_loader
+from combo_avs_tpu.data.mappers import AVSSemanticDatasetMapper
+
+
+@pytest.fixture(scope="module")
+def s4_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("s4_data")
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        for cat in ("dog",):
+            for vid in ("v1", "v2"):
+                fdir = root / "visual_frames" / split / cat / vid
+                mdir = root / "gt_masks" / split / cat / vid
+                pdir = root / "pre_SAM_mask" / split / cat / vid
+                for d in (fdir, mdir, pdir):
+                    d.mkdir(parents=True, exist_ok=True)
+                n_masks = 1 if split == "train" else 5
+                for i in range(5):
+                    img = rng.randint(0, 255, (224, 224, 3), np.uint8)
+                    cv2.imwrite(str(fdir / f"{vid}_{i + 1}.png"), img)
+                    cv2.imwrite(str(pdir / f"{vid}_{i + 1}_mask_color.png"), img)
+                    if i < n_masks:
+                        m = (rng.rand(224, 224) > 0.5).astype(np.uint8) * 255
+                        cv2.imwrite(str(mdir / f"{vid}_{i + 1}.png"), m)
+                adir = root / "audio_log_mel" / split / cat
+                adir.mkdir(parents=True, exist_ok=True)
+                with open(adir / f"{vid}.pkl", "wb") as f:
+                    pickle.dump(torch.randn(5, 1, 96, 64), f)
+    return str(root)
+
+
+def test_s4_catalog(s4_root):
+    recs = load_avss4_records(s4_root, "train", os.path.join(s4_root, "pre_SAM_mask"))
+    assert len(recs) == 2
+    r = recs[0]
+    assert len(r["file_names"]) == 5
+    assert len(r["sem_seg_file_names"]) == 1  # train: first frame only
+    assert r["gt_temporal_mask_flag"] == [1, 0, 0, 0, 0]
+    assert len(r["pre_mask_file_names"]) == 5
+    recs_val = load_avss4_records(s4_root, "val", None)
+    assert len(recs_val[0]["sem_seg_file_names"]) == 5
+    assert recs_val[0]["gt_temporal_mask_flag"] == [1] * 5
+
+
+def test_mapper_train_shapes(s4_root):
+    recs = load_avss4_records(s4_root, "train", os.path.join(s4_root, "pre_SAM_mask"))
+    mapper = AVSSemanticDatasetMapper(is_train=True, max_instances=4, seed=1)
+    out = mapper(recs[0])
+    assert out["images"].shape == (5, 224, 224, 3)
+    assert out["pre_masks"].shape == (5, 224, 224, 3)
+    assert out["audio_log_mel"].shape == (5, 96, 64)
+    assert out["labels"].shape == (5, 4)
+    assert out["masks"].shape == (5, 4, 224, 224)
+    # only first frame has valid targets in the train split
+    assert out["valid"][0].any() and not out["valid"][1:].any()
+    np.testing.assert_array_equal(out["gt_temporal_mask"], [1, 0, 0, 0, 0])
+    assert out["images"].min() >= 0 and out["images"].max() <= 255
+    # masks for valid slots are binary and match labels semantics
+    v = out["valid"][0]
+    assert set(np.unique(out["masks"][0][v])) <= {0.0, 1.0}
+
+
+def test_mapper_eval_no_aug_deterministic(s4_root):
+    recs = load_avss4_records(s4_root, "val", None)
+    mapper = AVSSemanticDatasetMapper(is_train=False, max_instances=4)
+    o1, o2 = mapper(recs[0]), mapper(recs[0])
+    np.testing.assert_array_equal(o1["images"], o2["images"])
+    assert o1["valid"].sum() > 0
+    assert o1["sem_segs"].shape == (5, 224, 224)
+
+
+def test_train_loader_batches(s4_root):
+    recs = load_avss4_records(s4_root, "train", os.path.join(s4_root, "pre_SAM_mask"))
+    mapper = AVSSemanticDatasetMapper(is_train=True, max_instances=4, seed=2)
+    loader = TrainLoader(recs, mapper, batch_size=2, num_workers=2)
+    batch = next(loader)
+    assert batch["images"].shape == (2, 5, 224, 224, 3)
+    assert batch["masks"].shape == (2, 5, 4, 224, 224)
+    loader.close()
+
+
+def test_eval_loader_one_pass(s4_root):
+    recs = load_avss4_records(s4_root, "val", None)
+    mapper = AVSSemanticDatasetMapper(is_train=False, max_instances=4)
+    batches = list(eval_loader(recs, mapper, batch_size=1))
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (1, 5, 224, 224, 3)
+
+
+@pytest.fixture(scope="module")
+def avss_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("avss")
+    rng = np.random.RandomState(1)
+    rows = ["uid,label,split"]
+    for vid, subset, nf in (("va", "v1s", 5), ("vb", "v2", 10)):
+        rows.append(f"{vid},{subset},train")
+        vdir = root / subset / vid
+        (vdir / "processed_frames").mkdir(parents=True)
+        (vdir / "processed_labels_semantic").mkdir(parents=True)
+        for i in range(nf):
+            img = rng.randint(0, 255, (224, 224, 3), np.uint8)
+            cv2.imwrite(str(vdir / "processed_frames" / f"{i}.png"), img)
+            lbl = rng.randint(0, 5, (224, 224)).astype(np.uint8)
+            cv2.imwrite(str(vdir / "processed_labels_semantic" / f"{i}.png"), lbl)
+        with open(vdir / "audio.pkl", "wb") as f:
+            pickle.dump(torch.randn(10, 1, 96, 64), f)
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+    return str(root)
+
+
+def test_avss_catalog_and_buckets(avss_root):
+    recs = load_avss_records(avss_root, "train")
+    assert {r["num_frames"] for r in recs} == {5, 10}
+    v1s = next(r for r in recs if r["subset"] == "v1s")
+    assert v1s["gt_temporal_mask_flag"] == [1, 0, 0, 0, 0]
+    assert len(v1s["sem_seg_file_names"]) == 1
+    v2 = next(r for r in recs if r["subset"] == "v2")
+    assert v2["gt_temporal_mask_flag"] == [1] * 10
+
+    # mapper with index labels (71 classes), no geometric augs (AVSS)
+    mapper = AVSSemanticDatasetMapper(
+        is_train=True, binary_gt=False, geometric_aug=False, use_pre_sam=False,
+        max_instances=8, seed=3,
+    )
+    o5, o10 = mapper(v1s), mapper(v2)
+    assert o5["images"].shape[0] == 5 and o10["images"].shape[0] == 10
+    assert o10["audio_log_mel"].shape == (10, 96, 64)
+    # loader buckets: batches never mix 5- and 10-frame videos
+    loader = TrainLoader(recs, mapper, batch_size=2, num_workers=1, seed=4)
+    for _ in range(4):
+        b = next(loader)
+        assert b["images"].shape[1] in (5, 10)
+    loader.close()
