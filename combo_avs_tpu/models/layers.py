@@ -49,9 +49,9 @@ class SqueezeExcite(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, H, W, C] -> gate [B, 1, 1, C]."""
         y = x.mean(axis=(1, 2))
-        y = nn.Dense(self.dim // self.reduction, use_bias=False, dtype=self.dtype, name="fc0")(y)
+        y = nn.Dense(self.dim // self.reduction, dtype=self.dtype, name="fc1")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         y = nn.sigmoid(y)
         return y[:, None, None, :]
 
