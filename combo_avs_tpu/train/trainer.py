@@ -1,0 +1,248 @@
+"""Trainer: config -> model/criterion/optimizer/loaders -> sharded train loop
+with periodic eval, best-checkpoint tracking, and resume.
+
+Replaces the reference's detectron2 `DefaultTrainer` subclass + hooks
+(ref: train_net.py:65-226, models/engine/hooks.py:14-101,
+models/evaluation/evaluator.py:106-255): one jitted train step over the data
+mesh, eval every TEST.EVAL_PERIOD iters with the benchmark evaluator,
+`model_best` kept on the eval metric, periodic + final orbax checkpoints,
+greppable timing logs in the reference's format ("s / iter per device").
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from combo_avs_tpu.data.catalogs import DatasetCatalog, MetadataCatalog
+from combo_avs_tpu.data.loader import TrainLoader, eval_loader
+from combo_avs_tpu.data.mappers import AVSSemanticDatasetMapper
+from combo_avs_tpu.evaluation.evaluator import SemSegEvaluator, SemSegEvaluatorSS
+from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict
+from combo_avs_tpu.losses.matcher import HungarianMatcher
+from combo_avs_tpu.models.meta_arch import build_model
+from combo_avs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from combo_avs_tpu.train.checkpoint import (
+    BestCheckpointer,
+    load_checkpoint,
+    save_checkpoint,
+)
+from combo_avs_tpu.train.optim import build_optimizer
+from combo_avs_tpu.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = logging.getLogger("COMBO")
+
+
+def build_mapper(cfg, is_train: bool, max_instances: Optional[int] = None):
+    name = cfg.INPUT.DATASET_MAPPER_NAME
+    binary_gt = name in ("avss4_semantic", "avsms3_semantic")
+    if max_instances is None:
+        max_instances = 3 if binary_gt else 12
+    return AVSSemanticDatasetMapper(
+        is_train=is_train,
+        augmentation=cfg.INPUT.AUGMENTATION,
+        min_sizes=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+        crop_size=tuple(cfg.INPUT.CROP.SIZE) if cfg.INPUT.CROP.ENABLED else None,
+        color_aug=cfg.INPUT.COLOR_AUG_SSD,
+        size_divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+        ignore_label=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+        max_instances=max_instances,
+        binary_gt=binary_gt,
+        use_pre_sam=cfg.MODEL.PRE_SAM.USE_PRE_SAM,
+        geometric_aug=name != "avss_semantic",
+    )
+
+
+def build_evaluator(cfg, dataset_name: str):
+    etype = MetadataCatalog.get(dataset_name, {}).get("evaluator_type", "sem_seg")
+    if etype == "sem_seg_ss":
+        return SemSegEvaluatorSS(num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES)
+    return SemSegEvaluator()
+
+
+def build_criterion(cfg) -> SetCriterion:
+    mf = cfg.MODEL.MASK_FORMER
+    matcher = HungarianMatcher(
+        cost_class=mf.CLASS_WEIGHT,
+        cost_mask=mf.MASK_WEIGHT,
+        cost_dice=mf.DICE_WEIGHT,
+        num_points=mf.TRAIN_NUM_POINTS,
+    )
+    return SetCriterion(
+        num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        matcher=matcher,
+        eos_coef=mf.NO_OBJECT_WEIGHT,
+        num_points=mf.TRAIN_NUM_POINTS,
+        oversample_ratio=mf.OVERSAMPLE_RATIO,
+        importance_sample_ratio=mf.IMPORTANCE_SAMPLE_RATIO,
+        cosine_n_frame=5,  # ref: criterion.py:282-286 always n_frame=5
+    )
+
+
+def evaluate(cfg, model, params, frozen, dataset_name: str,
+             batch_size: int = 1, max_videos: Optional[int] = None) -> Dict:
+    """Run inference_on_dataset (ref: evaluator.py:106-255) and return
+    {"sem_seg": {...}} metrics with the reference's timing logs."""
+    records = DatasetCatalog[dataset_name]()
+    if max_videos:
+        records = records[:max_videos]
+    mapper = build_mapper(cfg, is_train=False)
+    evaluator = build_evaluator(cfg, dataset_name)
+    size = cfg.INPUT.SIZE_DIVISIBILITY if cfg.INPUT.SIZE_DIVISIBILITY > 0 else 224
+    eval_step = make_eval_step(model, out_size=(size, size))
+
+    n_frames_total, t_compute, t_data, t0 = 0, 0.0, 0.0, time.perf_counter()
+    t_mark = time.perf_counter()
+    for batch in eval_loader(records, mapper, batch_size=batch_size):
+        t_data += time.perf_counter() - t_mark
+        tc = time.perf_counter()
+        sem = np.asarray(eval_step(params, frozen, batch))
+        t_compute += time.perf_counter() - tc
+        B, T = batch["images"].shape[:2]
+        sem = sem.reshape(B, T, *sem.shape[1:])
+        for b in range(B):
+            evaluator.process(sem[b], batch["sem_segs"][b])
+        n_frames_total += B * T
+        t_mark = time.perf_counter()
+
+    total = time.perf_counter() - t0
+    n_iter = max(n_frames_total, 1)
+    logger.info(
+        "Total inference time: %.6f s (%.6f s / iter per device, on 1 devices)",
+        total, total / n_iter,
+    )
+    logger.info(
+        "Total inference pure compute time: %.6f s (%.6f s / iter per device, on 1 devices)",
+        t_compute, t_compute / n_iter,
+    )
+    return evaluator.evaluate()
+
+
+class Trainer:
+    """DefaultTrainer equivalent."""
+
+    def __init__(self, cfg, n_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(n_devices)
+        self.model = build_model(cfg, deterministic=False)
+        self.eval_model = build_model(cfg, deterministic=True)
+        self.criterion = build_criterion(cfg)
+        self.weight_dict = build_weight_dict(cfg)
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        self.best_ckpt = BestCheckpointer(cfg.OUTPUT_DIR, metric="mIoU")
+        self.metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl")
+        self.state = None
+        self.start_iter = 0
+
+    def _train_loader(self) -> Iterator:
+        records = DatasetCatalog[self.cfg.DATASETS.TRAIN[0]]()
+        mapper = build_mapper(self.cfg, is_train=True)
+        return TrainLoader(
+            records, mapper,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH,
+            num_workers=self.cfg.DATALOADER.NUM_WORKERS,
+        )
+
+    def resume_or_load(self, resume: bool = False):
+        ckpts = []
+        if os.path.isdir(self.cfg.OUTPUT_DIR):
+            ckpts = sorted(
+                (d for d in os.listdir(self.cfg.OUTPUT_DIR) if d.startswith("step_")),
+                key=lambda d: int(d.split("_")[1]),
+            )
+        if resume and ckpts:
+            path = os.path.join(self.cfg.OUTPUT_DIR, ckpts[-1])
+            logger.info("Resuming from %s", path)
+            self.state = load_checkpoint(path, self._abstract_state())
+            self.start_iter = int(np.asarray(self.state.step))
+        # else: pretrained initial weights are loaded by the caller via
+        # checkpoint.convert_* (MODEL.WEIGHTS)
+
+    def _abstract_state(self):
+        batch = self._sample_batch()
+        optimizer, _ = self._optimizer_for(batch)
+        return jax.eval_shape(
+            lambda: create_train_state(self.model, optimizer, batch, jax.random.PRNGKey(0))
+        )
+
+    def _sample_batch(self):
+        loader = self._train_loader()
+        batch = next(loader)
+        loader.close()
+        return batch
+
+    def _optimizer_for(self, batch):
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch["images"], batch["audio_log_mel"], batch.get("pre_masks"),
+            batch.get("vid_temporal_mask"),
+        )
+        return build_optimizer(self.cfg, variables["params"])
+
+    def train(self, max_iter: Optional[int] = None, log_every: int = 20):
+        cfg = self.cfg
+        max_iter = max_iter or cfg.SOLVER.MAX_ITER
+        loader = self._train_loader()
+        batch0 = next(loader)
+
+        optimizer, schedule = self._optimizer_for(batch0)
+        with self.mesh:
+            if self.state is None:
+                self.state = create_train_state(
+                    self.model, optimizer, batch0, jax.random.PRNGKey(cfg.get("SEED", 0) or 0)
+                )
+            self.state = replicate(self.state, self.mesh)
+            train_step = make_train_step(self.model, self.criterion, self.weight_dict, optimizer)
+            key = jax.random.PRNGKey(1234)
+
+            t0 = time.perf_counter()
+            for it in range(self.start_iter, max_iter):
+                batch = batch0 if it == self.start_iter else next(loader)
+                batch = shard_batch(batch, self.mesh)
+                self.state, metrics = train_step(self.state, batch, key)
+
+                if (it + 1) % log_every == 0 or it + 1 == max_iter:
+                    loss = float(metrics["total_loss"])
+                    dt = (time.perf_counter() - t0) / log_every
+                    t0 = time.perf_counter()
+                    lr = float(schedule(it))
+                    logger.info(
+                        "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter)",
+                        it + 1, max_iter, loss, lr, dt,
+                    )
+                    with open(self.metrics_file, "a") as f:
+                        f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
+
+                if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                    self._eval_and_track(it + 1)
+                if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it + 1 == max_iter:
+                    save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(self.state), it + 1)
+        loader.close()
+        return self.state
+
+    def _eval_and_track(self, step: int):
+        results = self.test()
+        improved = self.best_ckpt.update(results, jax.device_get(self.state), step)
+        logger.info("eval @ %d: %s%s", step, results["sem_seg"],
+                    "  (new best)" if improved else "")
+        with open(self.metrics_file, "a") as f:
+            f.write(json.dumps({"iter": step, **results["sem_seg"]}) + "\n")
+        return results
+
+    def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None):
+        name = dataset_name or self.cfg.DATASETS.TEST[0]
+        params = self.state.params
+        frozen = self.state.frozen
+        return evaluate(self.cfg, self.eval_model, params, frozen, name,
+                        max_videos=max_videos)
