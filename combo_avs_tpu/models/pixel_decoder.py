@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from combo_avs_tpu.models.position_encoding import sine_position_encoding
-from combo_avs_tpu.ops.deform_attn import ms_deform_attn
+from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn
 
 
 def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int):

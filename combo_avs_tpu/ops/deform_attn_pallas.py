@@ -1,0 +1,211 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+Why: XLA lowers the 4-corner bilinear gathers of `ops.deform_attn` to serial
+dynamic-slices on TPU (~55 ms per call, ~334 ms for the 6-layer pixel-decoder
+encoder at the S4 eval batch — 96% of the whole model step).
+
+How: the gather becomes a sparse-interpolation-matrix product built entirely
+in VMEM. For every query, ALL L levels x P points x 4 bilinear corners are
+accumulated into one row of a per-level interpolation matrix A_l[QBLK, HW_l]
+(one-hot lane compares on the VPU; out-of-bounds corners never match,
+reproducing grid_sample zero padding), then one MXU matmul per level
+A_l @ value_l[HW_l, D] yields the block's output:
+
+  out[q] = sum_l A_l[q] @ V_l       A_l[q, hw] = sum_p w_qp * bilinear corners
+
+Pixel coordinates and folded weights are precomputed host-side (vectorized
+XLA), level segments are padded to 128 lanes so every slice stays
+tile-aligned, and everything inside the kernel is strictly 2D (Mosaic rejects
+minor-dim reshapes). Per-call outputs are chunked under axon's 16 MB
+scoped-vmem cap for custom-call results.
+
+Semantics match `ms_deform_attn` exactly (the reference CUDA op's spec,
+ref: ops/functions/ms_deform_attn_func.py:53-72); the parity test runs both
+against each other. `precision=HIGHEST` gives bit-level fp32 matmuls (6 MXU
+passes); DEFAULT trades ~4e-3 absolute error for ~2x speed.
+
+The backward pass currently reuses the XLA composition via `jax.vjp` (exact
+but slow); matmul-form backward kernels (dV = A^T dOut) are a follow-up.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from combo_avs_tpu.ops.deform_attn import ms_deform_attn as ms_deform_attn_xla
+
+QBLK = 128  # queries per grid cell (measured fastest vs 256/512 on v5e)
+LANE = 128
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _kernel(xs_ref, ys_ref, ws_ref, value_ref, out_ref, *, shapes, seg_offs, P, D,
+            precision):
+    """Blocks: xs/ys/ws [1, QBLK, L*P], value [1, S_pad, D], out [1, QBLK, D].
+
+    xs/ys are pixel coords (already scaled per level), ws the attention
+    weights; channel c = l * P + p."""
+    out = jnp.zeros((QBLK, D), jnp.float32)
+    for l, (H, W) in enumerate(shapes):
+        HW = H * W
+        seg = _pad_to(HW, LANE)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+        acc = jnp.zeros((QBLK, seg), jnp.float32)
+        for p in range(P):
+            c = l * P + p
+            x = xs_ref[0, :, c : c + 1]  # [QBLK, 1]
+            y = ys_ref[0, :, c : c + 1]
+            w = ws_ref[0, :, c : c + 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            for dy in (0, 1):
+                yi = y0i + dy
+                wy = fy if dy else 1.0 - fy
+                yvalid = (yi >= 0) & (yi < H)
+                base = yi * W
+                for dx in (0, 1):
+                    xi = x0i + dx
+                    wx = fx if dx else 1.0 - fx
+                    # x-validity is implicit in the lane compare EXCEPT row
+                    # cross-over (xi == -1 or W matches a neighboring row), so
+                    # mask it explicitly together with y
+                    valid = yvalid & (xi >= 0) & (xi < W)
+                    idx = jnp.where(valid, base + xi, -1)
+                    acc = acc + (idx == lane_iota) * (w * wx * wy)
+        v = value_ref[0, seg_offs[l] : seg_offs[l] + seg, :]
+        out = out + jax.lax.dot(acc, v.astype(jnp.float32), precision=precision,
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+# axon's XLA stack-allocates custom-call outputs in scoped vmem (16 MB cap);
+# chunk the batch*head axis so each call's output stays well under it.
+_MAX_OUT_BYTES = 4 * 1024 * 1024
+
+
+def _forward(value, spatial_shapes, sampling_locations, attention_weights,
+             precision=jax.lax.Precision.HIGHEST, interpret=False):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    G = B * M
+    dtype = value.dtype
+
+    # ---- host-side (XLA) preparation, all vectorized ----
+    # pixel coords per level: x = loc_x * W - 0.5 (grid_sample align_corners=False)
+    scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
+    pix = sampling_locations * scale[None, None, None, :, None, :] - 0.5
+    # [B, Lq, M, L, P, 2] -> [G, Lq, L*P]
+    xs = pix[..., 0].transpose(0, 2, 1, 3, 4).reshape(G, Lq, L * P)
+    ys = pix[..., 1].transpose(0, 2, 1, 3, 4).reshape(G, Lq, L * P)
+    ws = attention_weights.transpose(0, 2, 1, 3, 4).reshape(G, Lq, L * P)
+
+    # value: [B, S, M, D] -> [G, S_pad, D] with 128-lane-aligned level segments
+    segs = []
+    start = 0
+    seg_offs = []
+    off = 0
+    for H, W in spatial_shapes:
+        HW = H * W
+        v = value[:, start : start + HW].transpose(0, 2, 1, 3).reshape(G, HW, D)
+        pad = _pad_to(HW, LANE) - HW
+        if pad:
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        segs.append(v)
+        seg_offs.append(off)
+        off += HW + pad
+        start += HW
+    value_pad = jnp.concatenate(segs, axis=1)  # [G, S_pad, D]
+    S_pad = value_pad.shape[1]
+
+    qpad = (-Lq) % QBLK
+    if qpad:
+        xs = jnp.pad(xs, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
+        ys = jnp.pad(ys, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
+        ws = jnp.pad(ws, ((0, 0), (0, qpad), (0, 0)))
+    Lqp = Lq + qpad
+
+    bytes_per_g = Lqp * D * dtype.itemsize
+    gc = max(1, min(G, _MAX_OUT_BYTES // max(bytes_per_g, 1)))
+    while G % gc:
+        gc -= 1
+
+    kern = functools.partial(
+        _kernel, shapes=tuple(spatial_shapes), seg_offs=tuple(seg_offs),
+        P=P, D=D, precision=precision,
+    )
+    pallas_call = functools.partial(pl.pallas_call, interpret=interpret)
+
+    def call(args):
+        xs_c, ys_c, ws_c, val_c = args
+        return pallas_call(
+            kern,
+            grid=(gc, Lqp // QBLK),
+            in_specs=[
+                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, S_pad, D), lambda g, q: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, QBLK, D), lambda g, q: (g, q, 0)),
+            out_shape=jax.ShapeDtypeStruct((gc, Lqp, D), dtype),
+        )(xs_c, ys_c, ws_c, val_c)
+
+    inputs = (xs, ys, ws, value_pad)
+    if gc == G:
+        out = call(inputs)
+    else:
+        n = G // gc
+        out = jax.lax.map(
+            call, tuple(x.reshape(n, gc, *x.shape[1:]) for x in inputs)
+        ).reshape(G, Lqp, D)
+
+    out = out[:, :Lq]  # [G, Lq, D]
+    return out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for `ops.deform_attn.ms_deform_attn`."""
+    return _forward(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _fwd(value, spatial_shapes, loc, w):
+    return _forward(value, spatial_shapes, loc, w), (value, loc, w)
+
+
+def _bwd(spatial_shapes, res, g):
+    value, loc, w = res
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
+                     value, loc, w)
+    dv, dl, dw = vjp(g.astype(value.dtype))
+    return dv, dl, dw
+
+
+ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights):
+    """Backend dispatch: Pallas kernel on TPU, XLA composition elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        return ms_deform_attn_pallas(
+            value, tuple(map(tuple, spatial_shapes)), sampling_locations, attention_weights
+        )
+    return ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_weights)

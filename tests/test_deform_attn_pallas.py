@@ -1,0 +1,63 @@
+"""Pallas deformable-attention kernel: parity vs the XLA composition.
+
+On CPU the kernel runs in pallas interpret mode (the compiled path is
+exercised on real TPU by bench.py and the TPU test drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from combo_avs_tpu.ops.deform_attn import ms_deform_attn as xla_version
+from combo_avs_tpu.ops.deform_attn_pallas import _forward, ms_deform_attn
+
+SHAPES = ((4, 6), (2, 3))
+B, M, D, Lq, P = 2, 2, 8, 37, 3
+S = sum(h * w for h, w in SHAPES)
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, (B, Lq, M, len(SHAPES), P, 2)).astype(np.float32)
+    w = rng.rand(B, Lq, M, len(SHAPES), P).astype(np.float32)
+    w /= w.reshape(B, Lq, M, -1).sum(-1)[..., None, None]
+    return value, loc, w
+
+
+def test_pallas_forward_matches_xla_interpret():
+    value, loc, w = _inputs()
+    ref = np.asarray(xla_version(value, SHAPES, loc, w))
+    out = np.asarray(_forward(value, SHAPES, loc, w, interpret=True))
+    assert out.shape == ref.shape == (B, Lq, M * D)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_oob_zero_padding_interpret():
+    value, loc, w = _inputs(1)
+    loc_oob = np.full_like(loc, 7.0)
+    out = np.asarray(_forward(value, SHAPES, loc_oob, w, interpret=True))
+    np.testing.assert_array_equal(out, 0)
+
+
+def test_dispatch_falls_back_on_cpu():
+    # tests run on CPU: the dispatcher must route to the XLA composition
+    value, loc, w = _inputs(2)
+    out = np.asarray(ms_deform_attn(value, SHAPES, loc, w))
+    ref = np.asarray(xla_version(value, SHAPES, loc, w))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_custom_vjp_backward_matches_xla_grads():
+    from combo_avs_tpu.ops.deform_attn_pallas import _bwd
+
+    value, loc, w = _inputs(3)
+    g = np.random.RandomState(9).randn(B, Lq, M * D).astype(np.float32)
+
+    def f_xla(v, l, a):
+        return (xla_version(v, SHAPES, l, a) * g).sum()
+
+    gv_ref = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    dv, dl, dw = _bwd(SHAPES, (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)),
+                      jnp.asarray(g))
+    for a, b in zip(gv_ref, (dv, dl, dw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
