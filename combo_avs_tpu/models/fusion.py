@@ -304,3 +304,52 @@ class AudioMLP(nn.Module):
         x = nn.relu(nn.Dense(4096, name="fc0")(x))
         x = nn.relu(nn.Dense(4096, name="fc1")(x))
         return nn.Dense(self.out_dim, name="fc2")(x)
+
+
+class FeatureResizer(nn.Module):
+    """Linear + LayerNorm + dropout embedding resizer
+    (ref: fuse_helper.py:17-37; SCAN-era helper kept for API completeness)."""
+
+    output_dim: int
+    dropout: float = 0.1
+    do_ln: bool = True
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.output_dim, name="fc")(x)
+        if self.do_ln:
+            x = nn.LayerNorm(epsilon=1e-12, name="layer_norm")(x)
+        if self.dropout > 0 and not self.deterministic:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        return x
+
+
+def l1norm(x, axis, eps=1e-8):
+    return x / (jnp.abs(x).sum(axis=axis, keepdims=True) + eps)
+
+
+def l2norm(x, axis, eps=1e-8):
+    return x / (jnp.sqrt((x**2).sum(axis=axis, keepdims=True)) + eps)
+
+
+def func_attention(query, context, smooth=1.0, raw_feature_norm="softmax", eps=1e-8):
+    """SCAN-style cross attention (ref: fuse_helper.py:40-99; unused by the
+    shipped configs, kept for the MHA-S research variants).
+
+    query [B, Lq, D], context [B, Ls, D] -> (weighted context [B, Lq, D],
+    attention [B, Ls, Lq])."""
+    attn = jnp.einsum("bsd,bqd->bsq", context, query)
+    if raw_feature_norm == "softmax":
+        attn = nn.softmax(attn, axis=-1)
+    elif raw_feature_norm == "l2norm":
+        attn = l2norm(attn, 2)
+    elif raw_feature_norm == "clipped_l2norm":
+        attn = l2norm(nn.leaky_relu(attn, 0.1), 2)
+    else:
+        raise ValueError(f"unknown norm {raw_feature_norm!r}")
+    # normalize over source, sharpen, renormalize (SCAN)
+    attn = jnp.swapaxes(attn, 1, 2)  # [B, Lq, Ls]
+    attn = nn.softmax(attn * smooth, axis=-1)
+    weighted = jnp.einsum("bqs,bsd->bqd", attn, context)
+    return weighted, jnp.swapaxes(attn, 1, 2)

@@ -15,9 +15,11 @@ from typing import Dict, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+import combo_avs_tpu.models.fpn_decoder  # noqa: F401  (registers FPN decoders)
 from combo_avs_tpu.models.fusion import AudioMLP, AVFuse
 from combo_avs_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
 from combo_avs_tpu.models.transformer_decoder import MultiScaleMaskedTransformerDecoder
+from combo_avs_tpu.utils.registry import SEM_SEG_HEADS_REGISTRY
 
 
 class MaskFormerHead(nn.Module):
@@ -42,19 +44,29 @@ class MaskFormerHead(nn.Module):
     fusion_step: str = "late"  # "early" fusion happens in the meta-arch
     fused_type: str = "MHA-B"
     audio_dim: int = 128
+    pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
     deterministic: bool = True
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], audio_feature: jnp.ndarray):
-        mask_features, _, multi_scale_features = MSDeformAttnPixelDecoder(
-            conv_dim=self.conv_dim,
-            mask_dim=self.mask_dim,
-            transformer_in_features=tuple(self.transformer_in_features),
-            in_features=tuple(self.in_features),
-            enc_layers=self.enc_layers,
-            n_heads=self.nheads,
-            name="pixel_decoder",
-        )(features)
+        if self.pixel_decoder_name == "MSDeformAttnPixelDecoder":
+            pixel_decoder = MSDeformAttnPixelDecoder(
+                conv_dim=self.conv_dim,
+                mask_dim=self.mask_dim,
+                transformer_in_features=tuple(self.transformer_in_features),
+                in_features=tuple(self.in_features),
+                enc_layers=self.enc_layers,
+                n_heads=self.nheads,
+                name="pixel_decoder",
+            )
+        else:
+            pixel_decoder = SEM_SEG_HEADS_REGISTRY.get(self.pixel_decoder_name)(
+                conv_dim=self.conv_dim,
+                mask_dim=self.mask_dim,
+                in_features=tuple(self.in_features),
+                name="pixel_decoder",
+            )
+        mask_features, _, multi_scale_features = pixel_decoder(features)
 
         if self.fusion_step == "late":
             fused = AVFuse(

@@ -64,6 +64,7 @@ class MaskFormer(nn.Module):
     queries_fuse_type: str = "add"
     audio_out_dim: int = 256
     use_cosine_loss: bool = True
+    pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
     # SEM / pre-SAM
     use_pre_sam: bool = True
     pre_sam_dim: Sequence[int] = (256, 512, 1024, 2048)
@@ -146,6 +147,7 @@ class MaskFormer(nn.Module):
             fusion_step=self.fusion_step,
             fused_type=self.fused_type,
             audio_dim=self.audio_dim,
+            pixel_decoder_name=self.pixel_decoder_name,
             deterministic=self.deterministic,
             name="sem_seg_head",
         )(features, audio_feature)
@@ -196,6 +198,7 @@ def build_model(cfg, deterministic: bool = True) -> MaskFormer:
         queries_fuse_type=m.FUSE_CONFIG.QUERIES_FUSE_TYPE,
         audio_out_dim=audio_out_dim,
         use_cosine_loss=m.MASK_FORMER.COSINE_WEIGHT > 0,
+        pixel_decoder_name=m.SEM_SEG_HEAD.PIXEL_DECODER_NAME,
         use_pre_sam=m.PRE_SAM.USE_PRE_SAM,
         pre_sam_dim=tuple(m.PRE_SAM.PRE_SAM_DIM),
         pixel_mean=tuple(m.PIXEL_MEAN),

@@ -36,6 +36,7 @@ import numpy as np
 
 from combo_avs_tpu.models.position_encoding import sine_position_encoding
 from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn
+from combo_avs_tpu.utils.registry import SEM_SEG_HEADS_REGISTRY
 
 
 def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int):
@@ -146,6 +147,7 @@ def encoder_reference_points(spatial_shapes: Tuple[Tuple[int, int], ...]) -> np.
     return np.broadcast_to(ref[:, None, :], (ref.shape[0], len(spatial_shapes), 2)).copy()
 
 
+@SEM_SEG_HEADS_REGISTRY.register(name="MSDeformAttnPixelDecoder")
 class MSDeformAttnPixelDecoder(nn.Module):
     """features {res2..res5: NHWC} ->
     (mask_features [B, H/4, W/4, mask_dim], encoder res5 map, 3 multi-scale maps)."""

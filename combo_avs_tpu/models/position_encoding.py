@@ -45,3 +45,31 @@ def sine_position_encoding(
         h, w, num_pos_feats
     )
     return np.concatenate([pos_y, pos_x], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def sine_position_encoding_3d(
+    t: int, h: int, w: int, num_pos_feats: int = 64, normalize: bool = True
+) -> np.ndarray:
+    """3D (temporal + spatial) sine encoding, [T, H, W, 3*num_pos_feats]
+    (z/y/x channel blocks). Parity companion of the reference's unused
+    `PositionEmbeddingSine3D` (ref: position_encoding.py:63-108)."""
+    z = np.arange(1, t + 1, dtype=np.float32)[:, None, None] * np.ones((1, h, w), np.float32)
+    y = np.arange(1, h + 1, dtype=np.float32)[None, :, None] * np.ones((t, 1, w), np.float32)
+    x = np.arange(1, w + 1, dtype=np.float32)[None, None, :] * np.ones((t, h, 1), np.float32)
+    if normalize:
+        scale = 2 * np.pi
+        z = z / (z[-1:, :, :] + EPS) * scale
+        y = y / (y[:, -1:, :] + EPS) * scale
+        x = x / (x[:, :, -1:] + EPS) * scale
+
+    i = np.arange(num_pos_feats, dtype=np.float32)
+    dim_t = TEMPERATURE ** (2 * np.floor(i / 2) / num_pos_feats)
+
+    def enc(v):
+        p = v[..., None] / dim_t
+        return np.stack([np.sin(p[..., 0::2]), np.cos(p[..., 1::2])], axis=-1).reshape(
+            t, h, w, num_pos_feats
+        )
+
+    return np.concatenate([enc(z), enc(y), enc(x)], axis=-1)

@@ -63,19 +63,42 @@ def make_train_step(
     criterion: SetCriterion,
     weight_dict: Dict[str, float],
     optimizer: optax.GradientTransformation,
+    amp: bool = False,
 ) -> Callable:
+    """amp=True casts params + activations to bfloat16 for the forward pass
+    (the reference's AVSS AMP regime, ref: configs/avs_ss/
+    R50-AVSS-SemanticSegmentation.yaml:44); master params, loss math and the
+    optimizer stay float32. bf16 needs no loss scaling (fp32-range exponent).
+    Note: the reference pins its pixel decoder to fp32 under AMP
+    (ref: msdeformattn.py:315 autocast(enabled=False)); here the Pallas
+    deformable kernel accumulates in fp32 regardless of input dtype."""
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+        )
+
     def train_step(state: TrainState, batch: Dict, key):
         kd, km = jax.random.split(jax.random.fold_in(key, state.step))
 
         def loss_fn(params):
+            fwd_params = _cast(params, jnp.bfloat16) if amp else params
+            fwd_frozen = _cast(state.frozen, jnp.bfloat16) if amp else state.frozen
             outputs = model.apply(
-                {"params": params, "frozen": state.frozen},
+                {"params": fwd_params, "frozen": fwd_frozen},
                 batch["images"],
                 batch["audio_log_mel"],
                 batch.get("pre_masks"),
                 batch.get("vid_temporal_mask"),
                 rngs={"dropout": kd},
             )
+            if amp:
+                outputs = jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                    else x,
+                    outputs,
+                )
             targets = _flatten_targets(batch)
             fw = batch.get("gt_temporal_mask")
             fw = None if fw is None else fw.reshape(-1)

@@ -203,7 +203,7 @@ class Trainer:
                     self.model, optimizer, batch0, jax.random.PRNGKey(cfg.get("SEED", 0) or 0)
                 )
             self.state = replicate(self.state, self.mesh)
-            train_step = make_train_step(self.model, self.criterion, self.weight_dict, optimizer)
+            train_step = make_train_step(self.model, self.criterion, self.weight_dict, optimizer, amp=cfg.SOLVER.AMP.ENABLED)
             key = jax.random.PRNGKey(1234)
 
             t0 = time.perf_counter()
