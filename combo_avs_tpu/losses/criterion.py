@@ -70,6 +70,7 @@ class SetCriterion:
         oversample_ratio: float = 3.0,
         importance_sample_ratio: float = 0.75,
         cosine_n_frame: int = 5,
+        remat: bool = True,
     ):
         self.num_classes = num_classes
         self.matcher = matcher
@@ -78,6 +79,7 @@ class SetCriterion:
         self.oversample_ratio = oversample_ratio
         self.importance_sample_ratio = importance_sample_ratio
         self.cosine_n_frame = cosine_n_frame
+        self.remat = remat
 
     # ------------------------------------------------------------------
     def _loss_labels(self, pred_logits, labels, valid, assign, frame_weight):
@@ -175,12 +177,22 @@ class SetCriterion:
         ]
         losses: Dict[str, jnp.ndarray] = {}
         keys = jax.random.split(key, 2 * len(layers))
+
+        # rematerialize each decoder layer's matched losses: the PointRend
+        # oversampling intermediates (~37k points x N*K masks per layer x 10
+        # layers) would otherwise all be saved for the backward pass
+        def layer_losses(k1, k2, logits, masks):
+            assign = self.matcher(k1, logits, masks, labels, tgt_masks, valid)
+            ce = self._loss_labels(logits, labels, valid, assign, frame_weight)
+            lm, ld = self._loss_masks(k2, masks, tgt_masks, valid, assign, num_masks)
+            return ce, lm, ld
+
+        if self.remat:
+            layer_losses = jax.checkpoint(layer_losses)
+
         for j, (logits, masks, suffix) in enumerate(layers):
-            assign = self.matcher(keys[2 * j], logits, masks, labels, tgt_masks, valid)
-            losses[f"loss_ce{suffix}"] = self._loss_labels(
-                logits, labels, valid, assign, frame_weight
-            )
-            lm, ld = self._loss_masks(keys[2 * j + 1], masks, tgt_masks, valid, assign, num_masks)
+            ce, lm, ld = layer_losses(keys[2 * j], keys[2 * j + 1], logits, masks)
+            losses[f"loss_ce{suffix}"] = ce
             losses[f"loss_mask{suffix}"] = lm
             losses[f"loss_dice{suffix}"] = ld
 

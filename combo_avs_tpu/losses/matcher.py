@@ -7,29 +7,28 @@ Same cost as the reference `HungarianMatcher`
     + cost_mask  * batch-sigmoid-CE(point-sampled masks)
     + cost_dice  * batch-dice(point-sampled masks)
 
-evaluated on ONE shared uniform random point set per frame (12544 points),
-solved with `scipy.optimize.linear_sum_assignment`.
+evaluated on ONE shared uniform random point set per frame (12544 points).
 
 Static-shape redesign: targets arrive padded to K slots per frame
-(`labels [N, K]`, `masks [N, K, H, W]`, `valid [N, K]` with valid slots packed
-first). The cost matrix is always [Q, K]; invalid columns get +inf cost and
-the host LSAP solves only the valid prefix. The assignment returns, per
-target slot, the matched query index (or -1 when invalid) — downstream losses
-gather with it, so no dynamic shapes ever enter the jitted graph. The scipy
-solve runs through `jax.pure_callback` exactly like the reference's
-device->CPU hop (ref: matcher.py:131-134).
+(`labels [N, K]`, `masks [N, K, H, W]`, `valid [N, K]`). The cost matrix is
+always [Q, K]; invalid columns get a large uniform cost (they soak up leftover
+queries without perturbing the valid rows' optimum). The assignment returns,
+per target slot, the matched query index (or -1 when invalid) — downstream
+losses gather with it, so no dynamic shapes ever enter the jitted graph.
+
+Where the reference ships costs to the CPU for scipy
+(ref: matcher.py:131-134), the LSAP here is solved ON DEVICE with the exact
+JAX Jonker-Volgenant solver in `ops.lsap` — no host round trip, works under
+jit/vmap/pjit, and runs on TPU runtimes that lack host callbacks entirely.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-import scipy.optimize
 
 from combo_avs_tpu.ops.grid_sample import point_sample
+from combo_avs_tpu.ops.lsap import solve_lsap_batch
 
 BIG_COST = 1e8
 
@@ -52,19 +51,6 @@ def batch_dice_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - (numerator + 1.0) / (denominator + 1.0)
 
 
-def _lsap_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
-    """Host-side LSAP on the valid prefix. cost [Q, K]; returns [K] int32
-    matched query per target slot (-1 for padding)."""
-    Q, K = cost.shape
-    k = int(n_valid)
-    out = np.full((K,), -1, np.int32)
-    if k > 0:
-        c = np.nan_to_num(cost[:, :k], nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
-        rows, cols = scipy.optimize.linear_sum_assignment(c)
-        out[cols] = rows.astype(np.int32)
-    return out
-
-
 class HungarianMatcher:
     def __init__(
         self,
@@ -79,27 +65,32 @@ class HungarianMatcher:
         self.num_points = num_points
 
     def cost_matrix(self, key, pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid):
-        """Per-frame cost. pred_logits [Q, C+1], pred_masks [Q, h, w],
-        tgt_labels [K], tgt_masks [K, H, W], tgt_valid [K] -> [Q, K]."""
-        out_prob = jax.nn.softmax(pred_logits, axis=-1)
-        cost_class = -out_prob[:, tgt_labels]  # [Q, K]
+        """Batched cost. pred_logits [N, Q, C+1], pred_masks [N, Q, h, w],
+        tgt_labels [N, K], tgt_masks [N, K, H, W], tgt_valid [N, K] -> [N, Q, K].
 
-        pts = jax.random.uniform(key, (1, self.num_points, 2))
-        Q = pred_masks.shape[0]
-        K = tgt_masks.shape[0]
+        All masks of a frame are point-sampled in ONE packed call (masks ride
+        the channel dim) — the per-frame shared point set makes this exact."""
+        N, Q = pred_logits.shape[:2]
+        K = tgt_labels.shape[1]
+        out_prob = jax.nn.softmax(pred_logits, axis=-1)  # [N, Q, C+1]
+        cost_class = -jnp.take_along_axis(
+            out_prob, tgt_labels[:, None, :], axis=2
+        )  # [N, Q, K]
+
+        pts = jax.random.uniform(key, (N, self.num_points, 2))
         out_pts = point_sample(
-            pred_masks[..., None], jnp.broadcast_to(pts, (Q, self.num_points, 2))
-        )[..., 0]
+            pred_masks.transpose(0, 2, 3, 1), pts
+        ).transpose(0, 2, 1)  # [N, Q, P]
         tgt_pts = point_sample(
-            tgt_masks[..., None], jnp.broadcast_to(pts, (K, self.num_points, 2))
-        )[..., 0]
+            tgt_masks.transpose(0, 2, 3, 1), pts
+        ).transpose(0, 2, 1)  # [N, K, P]
 
         C = (
             self.cost_class * cost_class
-            + self.cost_mask * batch_sigmoid_ce_cost(out_pts, tgt_pts)
-            + self.cost_dice * batch_dice_cost(out_pts, tgt_pts)
+            + self.cost_mask * jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
+            + self.cost_dice * jax.vmap(batch_dice_cost)(out_pts, tgt_pts)
         )
-        return jnp.where(tgt_valid[None, :], C, BIG_COST)
+        return jnp.where(tgt_valid[:, None, :], C, BIG_COST)
 
     def __call__(self, key, pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid):
         """Batched matching.
@@ -112,18 +103,11 @@ class HungarianMatcher:
         Returns:
           assignment [N, K] int32: matched query per target slot, -1 = padding.
         """
-        N, K = tgt_labels.shape
-        keys = jax.random.split(key, N)
-        cost = jax.vmap(self.cost_matrix)(
-            keys, pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid
+        cost = self.cost_matrix(
+            key, pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid
         )
         cost = jax.lax.stop_gradient(cost)
-        n_valid = tgt_valid.sum(axis=-1).astype(jnp.int32)
-
-        lsap = functools.partial(
-            jax.pure_callback,
-            _lsap_host,
-            jax.ShapeDtypeStruct((K,), jnp.int32),
-            vmap_method="sequential",
-        )
-        return jax.vmap(lsap)(cost, n_valid)
+        cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
+        # rows = target slots, columns = queries (K <= Q)
+        assign = solve_lsap_batch(jnp.swapaxes(cost, 1, 2))  # [N, K]
+        return jnp.where(tgt_valid, assign, -1)

@@ -191,6 +191,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
         pos = jnp.concatenate(poss, axis=1)
         ref = jnp.asarray(encoder_reference_points(spatial_shapes))
 
+        # NOTE: no nn.remat here — rematerializing the Pallas deformable
+        # kernel trips an XLA:TPU allocation-assignment RET_CHECK (b/399810917)
         Layers = nn.scan(
             DeformableEncoderLayer,
             variable_axes={"params": 0},

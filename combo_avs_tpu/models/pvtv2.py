@@ -149,7 +149,7 @@ class PVTv2(nn.Module):
             rates = jnp.asarray(dpr[cur : cur + depth], jnp.float32)
             cur += depth
             Blocks = nn.scan(
-                PVTBlock,
+                nn.remat(PVTBlock),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0,

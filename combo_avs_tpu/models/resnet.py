@@ -86,6 +86,7 @@ class ResNet(nn.Module):
     res2_out_channels: int = 256
     stride_in_1x1: bool = False
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    remat: bool = True  # rematerialize blocks in backward (memory saver)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -98,11 +99,15 @@ class ResNet(nn.Module):
         blocks = BLOCKS_PER_STAGE[self.depth]
         out_ch = self.res2_out_channels
         bottleneck = out_ch // 4
+        # rematerialize block activations in the backward pass: only block
+        # inputs are saved, which is what lets the reference bs8/224^2 train
+        # regime fit one 16 GB chip
+        Block = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
         for stage_idx, n_blocks in enumerate(blocks):
             name = f"res{stage_idx + 2}"
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):
-                x = BottleneckBlock(
+                x = Block(
                     bottleneck=bottleneck,
                     out_channels=out_ch,
                     stride=stride if b == 0 else 1,

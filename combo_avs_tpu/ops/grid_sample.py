@@ -91,12 +91,31 @@ def point_sample(
     Equivalent to detectron2 `point_sample` (grid_sample on 2*p-1) used by the
     PointRend losses (ref: models/modeling/criterion.py:158-170).
 
+    On TPU this routes through the Pallas deformable-attention kernel
+    (point sampling IS deformable attention with 1 level, 1 head, 1 point and
+    unit weights; the C channels ride the kernel's lane dimension) — XLA's
+    native gather lowers to serial dynamic-slices there, which made PointRend
+    sampling the training-step bottleneck.
+
     Args:
       feat:   [N, H, W, C]
       points: [N, P, 2] in [0, 1], (x, y)
     Returns:
       [N, P, C]
     """
+    N, H, W, C = feat.shape
+    # the kernel's per-block interpolation matrix is [128, H*W] in VMEM;
+    # keep it under ~4 MB (large GT masks fall back to the XLA gather, which
+    # is fine for their small mask counts)
+    if not align_corners and H * W <= 8192 and jax.devices()[0].platform == "tpu":
+        from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+        P = points.shape[1]
+        value = feat.reshape(N, H * W, 1, C)
+        loc = points.reshape(N, P, 1, 1, 1, 2)
+        wts = jnp.ones((N, P, 1, 1, 1), feat.dtype)
+        return ms_deform_attn_pallas(value, ((H, W),), loc, wts)
+
     grid = 2.0 * points - 1.0
     out = grid_sample(feat, grid[:, :, None, :], align_corners=align_corners)
     return out[:, :, 0, :]

@@ -1,0 +1,111 @@
+"""Exact linear sum assignment (Hungarian matching), pure JAX.
+
+The reference ships cost matrices to the CPU and calls scipy's
+`linear_sum_assignment` (ref: models/modeling/matcher.py:131-134). A host
+callback cannot run on every TPU runtime (and forces a device->host sync per
+step), so this module solves the LSAP ON DEVICE with the same
+shortest-augmenting-path algorithm scipy uses (Jonker-Volgenant style,
+Crouse 2016): R rows are assigned one by one; each augmentation runs a
+Dijkstra-like search over columns whose path can only traverse
+already-assigned columns, so the inner loop is bounded by R+1 — everything
+fits `lax.while_loop`/`lax.scan` with static shapes and vmaps over the batch.
+
+For the matcher's shapes (R = padded target slots <= 16, C = 100 queries) the
+whole batched solve is microseconds of VPU work. Exactness is verified
+against scipy in tests (including degenerate ties, where any optimal
+assignment is accepted).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
+    """cost: [R, C] with R <= C. Returns col4row [R] int32 — the column
+    assigned to each row in the minimum-total-cost perfect matching of rows."""
+    R, C = cost.shape
+    assert R <= C, "solve_lsap expects R <= C (transpose if needed)"
+    cost = jnp.asarray(cost, jnp.float32)
+
+    def augment_row(state, cur_row):
+        u, v, row4col, col4row = state
+
+        # Dijkstra over columns; the path traverses assigned columns only.
+        def dij_cond(s):
+            return s[0] < 0
+
+        def dij_body(s):
+            sink, i, min_val, spc, path, sc, sr = s
+            sr = sr.at[i].set(True)
+            r = min_val + cost[i] - u[i] - v  # [C]
+            better = (~sc) & (r < spc)
+            spc = jnp.where(better, r, spc)
+            path = jnp.where(better, i, path)
+            masked = jnp.where(sc, INF, spc)
+            # prefer an unassigned column on ties (scipy tie-break)
+            j = jnp.argmin(masked + jnp.where(row4col < 0, 0.0, 1e-12))
+            min_val = masked[j]
+            sc = sc.at[j].set(True)
+            free = row4col[j] < 0
+            sink = jnp.where(free, j, -1)
+            i = jnp.where(free, i, row4col[j])
+            return (sink, i, min_val, spc, path, sc, sr)
+
+        init = (
+            jnp.int32(-1),
+            cur_row,
+            jnp.float32(0.0),
+            jnp.full((C,), INF, jnp.float32),
+            jnp.full((C,), -1, jnp.int32),
+            jnp.zeros((C,), bool),
+            jnp.zeros((R,), bool),
+        )
+        sink, _, min_val, spc, path, sc, sr = jax.lax.while_loop(
+            dij_cond, dij_body, init
+        )
+
+        # dual updates (ref scipy _lsap.c)
+        u = u.at[cur_row].add(min_val)
+        other = sr & (jnp.arange(R) != cur_row)
+        safe_col = jnp.clip(col4row, 0, C - 1)
+        u = jnp.where(other, u + min_val - spc[safe_col], u)
+        v = jnp.where(sc, v - (min_val - spc), v)
+
+        # augment along the alternating path, <= R+1 swaps
+        def aug_cond(s):
+            done, *_ = s
+            return ~done
+
+        def aug_body(s):
+            done, j, row4col, col4row = s
+            i = path[j]
+            row4col = row4col.at[j].set(i)
+            prev = col4row[i]
+            col4row = col4row.at[i].set(j)
+            done = i == cur_row
+            return (done, prev, row4col, col4row)
+
+        _, _, row4col, col4row = jax.lax.while_loop(
+            aug_cond, aug_body, (jnp.bool_(False), sink, row4col, col4row)
+        )
+        return (u, v, row4col, col4row), None
+
+    init = (
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((C,), jnp.float32),
+        jnp.full((C,), -1, jnp.int32),
+        jnp.full((R,), -1, jnp.int32),
+    )
+    (u, v, row4col, col4row), _ = jax.lax.scan(
+        augment_row, init, jnp.arange(R, dtype=jnp.int32)
+    )
+    return col4row
+
+
+def solve_lsap_batch(cost: jnp.ndarray) -> jnp.ndarray:
+    """[N, R, C] -> [N, R]."""
+    return jax.vmap(solve_lsap)(cost)
