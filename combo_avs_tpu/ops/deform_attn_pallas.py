@@ -48,20 +48,20 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _kernel(xs_ref, ys_ref, ws_ref, value_ref, out_ref, *, shapes, seg_offs, P, D,
-            precision):
-    """Blocks: xs/ys/ws [1, QBLK, L*P], value [1, S_pad, D], out [1, QBLK, D].
+            precision, qblk):
+    """Blocks: xs/ys/ws [1, qblk, L*P], value [1, S_pad, D], out [1, qblk, D].
 
     xs/ys are pixel coords (already scaled per level), ws the attention
     weights; channel c = l * P + p."""
-    out = jnp.zeros((QBLK, D), jnp.float32)
+    out = jnp.zeros((qblk, D), jnp.float32)
     for l, (H, W) in enumerate(shapes):
         HW = H * W
         seg = _pad_to(HW, LANE)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-        acc = jnp.zeros((QBLK, seg), jnp.float32)
+        acc = jnp.zeros((qblk, seg), jnp.float32)
         for p in range(P):
             c = l * P + p
-            x = xs_ref[0, :, c : c + 1]  # [QBLK, 1]
+            x = xs_ref[0, :, c : c + 1]  # [qblk, 1]
             y = ys_ref[0, :, c : c + 1]
             w = ws_ref[0, :, c : c + 1]
             x0 = jnp.floor(x)
@@ -102,6 +102,12 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     G = B * M
     dtype = value.dtype
 
+    # queries per grid cell: the kernel's interpolation accumulator is
+    # [qblk, max_seg] fp32 in VMEM — shrink qblk for large levels (e.g. the
+    # criterion's 224^2 GT masks) so it stays under ~4 MB
+    max_seg = max(_pad_to(h * w, LANE) for h, w in spatial_shapes)
+    qblk = min(QBLK, max(8, (4 * 1024 * 1024 // (max_seg * 4)) // 8 * 8))
+
     # ---- host-side (XLA) preparation, all vectorized ----
     # pixel coords per level: x = loc_x * W - 0.5 (grid_sample align_corners=False)
     scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
@@ -129,7 +135,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     value_pad = jnp.concatenate(segs, axis=1)  # [G, S_pad, D]
     S_pad = value_pad.shape[1]
 
-    qpad = (-Lq) % QBLK
+    qpad = (-Lq) % qblk
     if qpad:
         xs = jnp.pad(xs, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
         ys = jnp.pad(ys, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
@@ -143,7 +149,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
 
     kern = functools.partial(
         _kernel, shapes=tuple(spatial_shapes), seg_offs=tuple(seg_offs),
-        P=P, D=D, precision=precision,
+        P=P, D=D, precision=precision, qblk=qblk,
     )
     pallas_call = functools.partial(pl.pallas_call, interpret=interpret)
 
@@ -151,14 +157,14 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         xs_c, ys_c, ws_c, val_c = args
         return pallas_call(
             kern,
-            grid=(gc, Lqp // QBLK),
+            grid=(gc, Lqp // qblk),
             in_specs=[
-                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
-                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
-                pl.BlockSpec((1, QBLK, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g, q: (g, q, 0)),
                 pl.BlockSpec((1, S_pad, D), lambda g, q: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, QBLK, D), lambda g, q: (g, q, 0)),
+            out_specs=pl.BlockSpec((1, qblk, D), lambda g, q: (g, q, 0)),
             out_shape=jax.ShapeDtypeStruct((gc, Lqp, D), dtype),
         )(xs_c, ys_c, ws_c, val_c)
 

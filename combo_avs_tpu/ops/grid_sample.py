@@ -104,10 +104,11 @@ def point_sample(
       [N, P, C]
     """
     N, H, W, C = feat.shape
-    # the kernel's per-block interpolation matrix is [128, H*W] in VMEM;
-    # keep it under ~4 MB (large GT masks fall back to the XLA gather, which
-    # is fine for their small mask counts)
-    if not align_corners and H * W <= 8192 and jax.devices()[0].platform == "tpu":
+    # the kernel shrinks its query block so the [qblk, H*W] accumulator fits
+    # VMEM, but the value block's lanes pad C -> 128, so cap H*W such that
+    # H*W x 128 x 4B x 2 buffers stays under the 16 MB scoped-vmem limit;
+    # larger inputs (e.g. 224^2 GT masks) take the XLA gather path
+    if not align_corners and H * W <= 16384 and jax.devices()[0].platform == "tpu":
         from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
 
         P = points.shape[1]
