@@ -27,6 +27,8 @@ ASSUMED_A100_FRAMES_PER_SEC = 100.0
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +36,15 @@ def main():
 
     B, T, S = 4, 5, 224  # 4 videos x 5 frames, the S4 regime
     K = 8  # on-device loop length per timed call
-    model = MaskFormer()  # full COMBO-R50 S4 architecture
+    use_pvt = "--model" in sys.argv and "pvt" in sys.argv[sys.argv.index("--model") + 1]
+    if use_pvt:
+        # COMBO-PVTv2-B5 (BASELINE.md second speed target)
+        model = MaskFormer(
+            backbone_name="build_pvtv2_b5_backbone",
+            pre_sam_dim=(64, 128, 320, 512),
+        )
+    else:
+        model = MaskFormer()  # full COMBO-R50 S4 architecture
     rng = np.random.RandomState(0)
     images = (rng.rand(B, T, S, S, 3) * 255).astype(np.float32)
     mel = rng.randn(B, T, 96, 64).astype(np.float32)
@@ -67,7 +77,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "S4 eval frames/sec/chip (COMBO-R50)",
+                "metric": "S4 eval frames/sec/chip "
+                + ("(COMBO-PVTv2)" if use_pvt else "(COMBO-R50)"),
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_sec / ASSUMED_A100_FRAMES_PER_SEC, 3),
