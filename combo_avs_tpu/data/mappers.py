@@ -21,7 +21,9 @@ Output per video (numpy, static shapes):
 
 from __future__ import annotations
 
+import itertools
 import pickle
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import cv2
@@ -181,7 +183,20 @@ class AVSSemanticDatasetMapper:
         # AVSS uses no geometric augs, frames are pre-resized offline
         # (ref: avss_semantic_dataset_mapper.py builds augs=[]).
         self.geometric_aug = geometric_aug
-        self.rng = np.random.RandomState(seed)
+        # Mappers run concurrently under the loader's ThreadPoolExecutor and
+        # np.random.RandomState is not thread-safe: derive an independent
+        # RandomState per __call__ from (seed, call counter) instead of
+        # sharing one stateful stream.
+        self._seed = seed
+        self._counter = itertools.count()
+        self._lock = threading.Lock()
+
+    def _next_rng(self) -> np.random.RandomState:
+        with self._lock:
+            n = next(self._counter)
+        return np.random.RandomState(
+            np.random.SeedSequence([self._seed, n]).generate_state(1)[0]
+        )
 
     def _load_audio(self, path: str) -> np.ndarray:
         with open(path, "rb") as f:
@@ -204,12 +219,12 @@ class AVSSemanticDatasetMapper:
 
         if self.augmentation and self.geometric_aug:
             tf = sample_video_transform(
-                self.rng, images[0].shape[:2], self.min_sizes, self.max_size,
+                self._next_rng(), images[0].shape[:2], self.min_sizes, self.max_size,
                 self.crop_size, self.color_aug, flip=True,
             )
         elif self.augmentation:
             tf = sample_video_transform(
-                self.rng, images[0].shape[:2], [min(images[0].shape[:2])],
+                self._next_rng(), images[0].shape[:2], [min(images[0].shape[:2])],
                 self.max_size, None, self.color_aug, flip=False,
             )
         else:

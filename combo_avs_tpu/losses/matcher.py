@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from combo_avs_tpu.ops.grid_sample import point_sample
 from combo_avs_tpu.ops.lsap import solve_lsap_batch
 
-BIG_COST = 1e8
+# Padding cost for invalid target slots. Must dominate any real cost (max
+# real magnitude ~12 = 2*CE + 5*BCE + 5*dice) yet stay small enough that
+# fp32 dual-variable arithmetic in the JV solver keeps full resolution
+# (fp32 spacing at 1e4 is ~1e-3; at 1e8 it would be ~8 — comparable to real
+# cost gaps).
+BIG_COST = 1e4
 
 
 def batch_sigmoid_ce_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

@@ -151,8 +151,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             emb = mask_embed(d)  # [B, Q, mask_dim]
             masks = jnp.einsum("bqc,bhwc->bqhw", emb, mask_features)
             th, tw = target_size
+            # antialias=False: the reference downsamples with
+            # F.interpolate(mode="bilinear", align_corners=False), which does
+            # NOT antialias (ref: transformer_decoder.py:502); jax.image.resize
+            # defaults to antialias=True, which differs on downsampling and
+            # shifts the <0.5 attention-mask threshold.
             small = jax.image.resize(
-                masks, (B, self.num_queries, th, tw), "bilinear"
+                masks, (B, self.num_queries, th, tw), "bilinear", antialias=False
             )
             attn_mask = jax.nn.sigmoid(small).reshape(B, 1, self.num_queries, th * tw) < 0.5
             attn_mask = jnp.broadcast_to(

@@ -46,8 +46,12 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
             spc = jnp.where(better, r, spc)
             path = jnp.where(better, i, path)
             masked = jnp.where(sc, INF, spc)
-            # prefer an unassigned column on ties (scipy tie-break)
-            j = jnp.argmin(masked + jnp.where(row4col < 0, 0.0, 1e-12))
+            # prefer an unassigned column on *exact* ties: nudge assigned
+            # columns up by one ULP of their own magnitude (a fixed epsilon
+            # like 1e-12 is below fp32 resolution for any realistic cost)
+            finite = jnp.where(jnp.isfinite(masked), jnp.abs(masked), 0.0)
+            nudge = jnp.where(row4col < 0, 0.0, jnp.spacing(finite))
+            j = jnp.argmin(masked + nudge)
             min_val = masked[j]
             sc = sc.at[j].set(True)
             free = row4col[j] < 0

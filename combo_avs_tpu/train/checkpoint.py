@@ -373,6 +373,8 @@ def fan_out_siamese(backbone_variables: Tuple[dict, dict]) -> Tuple[dict, dict, 
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 5):
+    """Save `state` under step_{step}/ and prune to the newest `keep`
+    periodic checkpoints (d2 PeriodicCheckpointer max_to_keep behavior)."""
     import orbax.checkpoint as ocp
 
     import jax
@@ -381,6 +383,17 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 5):
     state = jax.tree.map(np.asarray, state)  # normalize scalars for orbax
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if keep and keep > 0:
+        import re
+        import shutil
+
+        steps = []
+        for name in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"step_(\d+)", name)
+            if m:
+                steps.append(int(m.group(1)))
+        for s in sorted(steps)[:-keep]:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
     return path
 
 

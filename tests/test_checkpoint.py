@@ -328,3 +328,15 @@ def test_fan_out_siamese():
     b = jax.tree.leaves(p2)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a is not b  # independent copies
+
+
+def test_save_checkpoint_prunes_to_keep(tmp_path):
+    from combo_avs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"w": np.arange(4, dtype=np.float32)}
+    for step in [5, 10, 15, 20]:
+        save_checkpoint(str(tmp_path), state, step, keep=2)
+    names = sorted(p.name for p in tmp_path.iterdir() if p.name.startswith("step_"))
+    assert names == ["step_15", "step_20"]
+    restored = load_checkpoint(str(tmp_path / "step_20"), state)
+    np.testing.assert_array_equal(restored["w"], state["w"])

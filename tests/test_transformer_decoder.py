@@ -110,3 +110,25 @@ def test_decoder_gradients_flow_and_attn_mask_detached():
     assert np.isfinite(total) and total > 0
     # audio-conditioned queries: gradient must reach the audio features
     assert float(np.abs(np.asarray(ga)).sum()) > 0
+
+
+def test_attn_mask_downsample_matches_torch_interpolate():
+    """The prediction-heads attention-mask downsample must match
+    F.interpolate(mode="bilinear", align_corners=False) — which does NOT
+    antialias — before the sigmoid<0.5 threshold
+    (ref: transformer_decoder.py:502-507)."""
+    rng = np.random.RandomState(3)
+    masks = rng.randn(B, Q, 16, 16).astype(np.float32) * 3.0
+    for th, tw in [(2, 2), (4, 4), (8, 8)]:
+        ours = jax.image.resize(
+            jnp.asarray(masks), (B, Q, th, tw), "bilinear", antialias=False
+        )
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(masks), size=(th, tw), mode="bilinear",
+            align_corners=False,
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
+        # thresholded attention masks agree exactly
+        np.testing.assert_array_equal(
+            np.asarray(jax.nn.sigmoid(ours) < 0.5), 1.0 / (1.0 + np.exp(-ref)) < 0.5
+        )
