@@ -72,12 +72,20 @@ class MaskFormer(nn.Module):
     pixel_mean: Tuple[float, ...] = PIXEL_MEAN
     pixel_std: Tuple[float, ...] = PIXEL_STD
     deterministic: bool = True
+    # dryrun/test-only knob: scales the (frozen) VGGish tower width
+    vggish_width: float = 1.0
 
     def _build_backbone(self, name: str):
         if self.backbone_name == "build_resnet_backbone":
             return ResNet(depth=50, name=name)
         if self.backbone_name == "build_pvtv2_b5_backbone":
             return PVTv2(deterministic=self.deterministic, name=name)
+        if self.backbone_name == "tiny_resnet":
+            # one bottleneck per stage, 8x narrower: NOT a reference config —
+            # exists so the multichip dryrun compiles the full SEM/fusion/
+            # head/criterion graph within a 1-CPU-core budget
+            return ResNet(depth=10, stem_out_channels=8, res2_out_channels=32,
+                          name=name)
         raise ValueError(f"unknown backbone {self.backbone_name!r}")
 
     def _normalize(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +106,7 @@ class MaskFormer(nn.Module):
 
         # frozen audio tower (ref :327-329): no gradients flow to VGGish
         mel = audio_log_mel.reshape(B * T, 96, 64, 1)
-        audio_feature = VGGish(name="audio_backbone")(mel)
+        audio_feature = VGGish(width_mult=self.vggish_width, name="audio_backbone")(mel)
         audio_feature = jax.lax.stop_gradient(audio_feature)[:, None, :]  # [B*T, 1, 128]
         if vid_temporal_mask is not None:
             audio_feature = audio_feature * vid_temporal_mask.reshape(B * T, 1, 1)

@@ -19,7 +19,10 @@ from typing import Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-BLOCKS_PER_STAGE = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+# depth 10 = one bottleneck per stage: not a reference config — used by the
+# multichip dryrun / tests to exercise the full 4-stage feature pyramid at a
+# compile cost 1 CPU core can afford.
+BLOCKS_PER_STAGE = {10: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
 class FrozenBatchNorm(nn.Module):

@@ -28,9 +28,14 @@ QUANTIZE_MAX_VAL = 2.0
 
 
 class VGGish(nn.Module):
-    """[N, 96, 64, 1] log-mel -> [N, 128] embedding."""
+    """[N, 96, 64, 1] log-mel -> [N, 128] embedding.
+
+    `width_mult` scales conv channels and FC width (embedding size stays 128).
+    1.0 is the parity architecture; smaller values exist only for the
+    multichip dryrun / tests where compile budget matters."""
 
     dtype: jnp.dtype = jnp.float32
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -39,16 +44,18 @@ class VGGish(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
+                ch = max(8, int(round(int(v) * self.width_mult)))
                 x = nn.Conv(
-                    int(v), (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{conv_idx}"
+                    ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{conv_idx}"
                 )(x)
                 x = nn.relu(x)
                 conv_idx += 1
         # [N, 6, 4, 512] -> [N, 12288]; element order already matches the
         # pretrained (TF-layout) FC weights, see module docstring.
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc0")(x))
-        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc1")(x))
+        fc = max(32, int(round(4096 * self.width_mult)))
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(fc, dtype=self.dtype, name="fc1")(x))
         x = nn.relu(nn.Dense(EMBEDDING_SIZE, dtype=self.dtype, name="fc2")(x))
         return x
 

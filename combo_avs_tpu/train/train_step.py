@@ -29,14 +29,19 @@ class TrainState:
     opt_state: Any
 
 
-def create_train_state(model, optimizer, sample_batch: Dict, key) -> TrainState:
-    variables = model.init(
-        {"params": key, "dropout": jax.random.fold_in(key, 1)},
-        sample_batch["images"],
-        sample_batch["audio_log_mel"],
-        sample_batch.get("pre_masks"),
-        sample_batch.get("vid_temporal_mask"),
-    )
+def create_train_state(
+    model, optimizer, sample_batch: Dict, key, variables: Optional[Dict] = None
+) -> TrainState:
+    """Pass `variables` to reuse an existing init (model.init compiles the
+    whole forward graph — doing it twice doubles cold-start time)."""
+    if variables is None:
+        variables = model.init(
+            {"params": key, "dropout": jax.random.fold_in(key, 1)},
+            sample_batch["images"],
+            sample_batch["audio_log_mel"],
+            sample_batch.get("pre_masks"),
+            sample_batch.get("vid_temporal_mask"),
+        )
     params = variables["params"]
     frozen = variables.get("frozen", {})
     return TrainState(
