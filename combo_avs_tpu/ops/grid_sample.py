@@ -91,11 +91,13 @@ def point_sample(
     Equivalent to detectron2 `point_sample` (grid_sample on 2*p-1) used by the
     PointRend losses (ref: models/modeling/criterion.py:158-170).
 
-    On TPU this routes through the Pallas deformable-attention kernel
-    (point sampling IS deformable attention with 1 level, 1 head, 1 point and
-    unit weights; the C channels ride the kernel's lane dimension) — XLA's
-    native gather lowers to serial dynamic-slices there, which made PointRend
-    sampling the training-step bottleneck.
+    On TPU this routes through the two-stage Pallas point-sample kernel
+    (`ops.point_sample_pallas`): row-interpolation matmul + column-weighted
+    reduce, both on the MXU, with a matmul-form VJP. XLA's native gather
+    lowers to serial dynamic-slices there, which made PointRend sampling the
+    training-step bottleneck; the round-1 one-hot kernel detour capped images
+    at H*W<=16384, which kept 224^2 GT masks on the slow path — this kernel
+    has no [points, H*W] accumulator, so any image that fits VMEM works.
 
     Args:
       feat:   [N, H, W, C]
@@ -104,18 +106,15 @@ def point_sample(
       [N, P, C]
     """
     N, H, W, C = feat.shape
-    # the kernel shrinks its query block so the [qblk, H*W] accumulator fits
-    # VMEM, but the value block's lanes pad C -> 128, so cap H*W such that
-    # H*W x 128 x 4B x 2 buffers stays under the 16 MB scoped-vmem limit;
-    # larger inputs (e.g. 224^2 GT masks) take the XLA gather path
-    if not align_corners and H * W <= 16384 and jax.devices()[0].platform == "tpu":
-        from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+    # img block [H, W] fp32 must fit VMEM alongside small per-block tensors
+    if (
+        not align_corners
+        and H * W * 4 <= 8 * 1024 * 1024
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from combo_avs_tpu.ops.point_sample_pallas import point_sample_pallas
 
-        P = points.shape[1]
-        value = feat.reshape(N, H * W, 1, C)
-        loc = points.reshape(N, P, 1, 1, 1, 2)
-        wts = jnp.ones((N, P, 1, 1, 1), feat.dtype)
-        return ms_deform_attn_pallas(value, ((H, W),), loc, wts)
+        return point_sample_pallas(feat, points)
 
     grid = 2.0 * points - 1.0
     out = grid_sample(feat, grid[:, :, None, :], align_corners=align_corners)

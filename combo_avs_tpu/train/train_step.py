@@ -117,7 +117,9 @@ def make_train_step(
         metrics = {"total_loss": loss, **losses}
         return new_state, metrics
 
-    return jax.jit(train_step)
+    # donate the input state: params/opt_state buffers are reused in place
+    # (halves the steady-state HBM footprint of the update)
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, out_size) -> Callable:

@@ -47,8 +47,12 @@ def test_dispatch_falls_back_on_cpu():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
-def test_custom_vjp_backward_matches_xla_grads():
-    from combo_avs_tpu.ops.deform_attn_pallas import _bwd
+def test_fused_backward_kernel_matches_xla_grads():
+    """The fused Pallas backward (dV = A^T g on the MXU + per-corner GV
+    extraction for dloc/dweight) must match autodiff of the XLA composition
+    (the reference col2im kernels' spec, ref: ms_deform_im2col_cuda.cuh:
+    307-1020)."""
+    from combo_avs_tpu.ops.deform_attn_pallas import _backward
 
     value, loc, w = _inputs(3)
     g = np.random.RandomState(9).randn(B, Lq, M * D).astype(np.float32)
@@ -57,7 +61,55 @@ def test_custom_vjp_backward_matches_xla_grads():
         return (xla_version(v, SHAPES, l, a) * g).sum()
 
     gv_ref = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
-    dv, dl, dw = _bwd(SHAPES, (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)),
-                      jnp.asarray(g))
+    dv, dl, dw = _backward(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w),
+        jnp.asarray(g), interpret=True,
+    )
+    for name, a, b in zip("value loc weight".split(), gv_ref, (dv, dl, dw)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_fused_backward_oob_and_padded_queries():
+    """OOB sampling corners contribute zero to every gradient (grid_sample
+    zero-padding), including through the query-padding path."""
+    from combo_avs_tpu.ops.deform_attn_pallas import _backward
+
+    value, loc, w = _inputs(4)
+    loc_oob = loc.copy()
+    loc_oob[:, ::3] = 9.0  # every third query fully out of bounds
+    g = np.random.RandomState(3).randn(B, Lq, M * D).astype(np.float32)
+
+    def f_xla(v, l, a):
+        return (xla_version(v, SHAPES, l, a) * g).sum()
+
+    gv_ref = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc_oob, w)
+    dv, dl, dw = _backward(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc_oob), jnp.asarray(w),
+        jnp.asarray(g), interpret=True,
+    )
     for a, b in zip(gv_ref, (dv, dl, dw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+    # OOB queries produce exactly zero dloc/dweight
+    np.testing.assert_array_equal(np.asarray(dl)[:, ::3], 0)
+    np.testing.assert_array_equal(np.asarray(dw)[:, ::3], 0)
+
+
+def test_fused_backward_group_chunking():
+    """Force the lax.map group-chunked path."""
+    import combo_avs_tpu.ops.deform_attn_pallas as dap
+
+    value, loc, w = _inputs(5)
+    g = np.random.RandomState(5).randn(B, Lq, M * D).astype(np.float32)
+    full = dap._backward(jnp.asarray(value), SHAPES, jnp.asarray(loc),
+                         jnp.asarray(w), jnp.asarray(g), interpret=True)
+    orig = dap._MAX_OUT_BYTES
+    try:
+        dap._MAX_OUT_BYTES = 1  # 1 group per chunk
+        chunked = dap._backward(jnp.asarray(value), SHAPES, jnp.asarray(loc),
+                                jnp.asarray(w), jnp.asarray(g), interpret=True)
+    finally:
+        dap._MAX_OUT_BYTES = orig
+    for a, b in zip(full, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
