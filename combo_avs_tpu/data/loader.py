@@ -57,6 +57,11 @@ class TrainLoader:
         self._thread.start()
 
     def _indices(self) -> Iterator[dict]:
+        # d2's TrainingSampler is an infinite shuffled-permutation stream
+        # (no within-epoch duplicates); kept per bucket so every global batch
+        # is duplicate-free whenever batch_size <= bucket size, which also
+        # makes the per-host slices of a global batch disjoint.
+        streams = {k: iter(()) for k in self.buckets}
         while True:
             # sample a bucket proportional to its size, then a batch within it
             sizes = {k: len(v) for k, v in self.buckets.items()}
@@ -66,9 +71,16 @@ class TrainLoader:
             for k, n in sizes.items():
                 acc += n
                 if r <= acc:
-                    bucket = self.buckets[k]
                     break
-            idx = self.rng.randint(0, len(bucket), self.batch_size)
+            bucket = self.buckets[k]
+            idx = []
+            while len(idx) < self.batch_size:
+                for i in streams[k]:
+                    idx.append(i)
+                    if len(idx) == self.batch_size:
+                        break
+                else:
+                    streams[k] = iter(self.rng.permutation(len(bucket)))
             # host sharding: each process takes its slice of the global batch
             per = self.batch_size // self.num_shards
             yield [bucket[i] for i in idx[self.shard_index * per : (self.shard_index + 1) * per]]

@@ -231,6 +231,14 @@ class AVSSemanticDatasetMapper:
             tf = None
 
         S = self.size_divisibility if self.size_divisibility > 0 else images[0].shape[0]
+        # valid (pre-padding) region, after the video's transform — the
+        # reference records this as ImageList.image_sizes and crops the
+        # prediction back to it at eval (maskformer_model.py:411-433)
+        if tf is not None:
+            th, tw = tf.crop_size if tf.crop_size is not None else tf.new_hw
+        else:
+            th, tw = images[0].shape[:2]
+        image_size = np.asarray([min(th, S), min(tw, S)], np.int32)
         out_images, out_pres, out_gts = [], [], []
         for i in range(T):
             img = images[i] if i < len(images) else np.zeros_like(images[0])
@@ -279,6 +287,12 @@ class AVSSemanticDatasetMapper:
                 [g if g is not None else np.full((S, S), self.ignore_label, np.int32)
                  for g in out_gts]
             ),
+            # original-size postprocess inputs (ref: maskformer_model.py:
+            # 417-419 reads height/width from the record, defaulting to the
+            # unpadded image size)
+            "image_size": image_size,
+            "height": np.int32(record.get("height", image_size[0])),
+            "width": np.int32(record.get("width", image_size[1])),
         }
         if out_pres:
             out["pre_masks"] = np.stack(out_pres)

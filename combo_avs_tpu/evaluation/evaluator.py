@@ -34,7 +34,8 @@ def _softmax(x: np.ndarray, axis: int) -> np.ndarray:
 class SemSegEvaluator:
     """S4 / MS3: binary sounding-object masks."""
 
-    def __init__(self):
+    def __init__(self, ignore_label: int = 255):
+        self.ignore_label = ignore_label
         self.reset()
 
     def reset(self):
@@ -44,10 +45,14 @@ class SemSegEvaluator:
 
     def process(self, sem_seg: np.ndarray, gt: np.ndarray):
         """sem_seg: [N, 2, H, W] model semantic maps for one video's frames;
-        gt: [N, H, W] binary ground truth."""
+        gt: [N, H, W] binary ground truth (ignore_label pixels excluded)."""
+        gt = np.asarray(gt)
+        ignore = gt == self.ignore_label
+        if not ignore.any():
+            ignore = None  # exact reference formula on clean inputs
         probs = _softmax(np.asarray(sem_seg, np.float64), axis=1)[:, 1]
-        self._miou_sum += mask_iou(probs, np.asarray(gt))
-        self._f_sum += eval_fmeasure(probs, np.asarray(gt))
+        self._miou_sum += mask_iou(probs, gt, ignore=ignore)
+        self._f_sum += eval_fmeasure(probs, gt, ignore=ignore)
         self._count += 1
 
     def merge(self, other: "SemSegEvaluator"):
@@ -68,8 +73,9 @@ class SemSegEvaluator:
 class SemSegEvaluatorSS:
     """AVSS: 71-class semantic masks with per-class presence normalization."""
 
-    def __init__(self, num_classes: int = 71):
+    def __init__(self, num_classes: int = 71, ignore_label: int = 255):
         self.num_classes = num_classes
+        self.ignore_label = ignore_label
         self.reset()
 
     def reset(self):
@@ -80,7 +86,8 @@ class SemSegEvaluatorSS:
     def process(self, sem_seg: np.ndarray, gt: np.ndarray):
         """sem_seg: [N, C, H, W] class scores; gt: [N, H, W] int labels."""
         probs = _softmax(np.asarray(sem_seg, np.float64), axis=1)
-        iou, f, cls = batch_miou_fscore(probs, np.asarray(gt), self.num_classes)
+        iou, f, cls = batch_miou_fscore(probs, np.asarray(gt), self.num_classes,
+                                        ignore_label=self.ignore_label)
         self._iou_pc += iou
         self._f_pc += f
         self._cls_pc += cls

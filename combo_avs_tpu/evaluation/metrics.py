@@ -22,25 +22,43 @@ import numpy as np
 EPS = 1e-7
 
 
-def mask_iou(pred: np.ndarray, target: np.ndarray, eps: float = EPS) -> float:
-    """pred: [N, H, W] foreground probabilities; target: [N, H, W] binary."""
+def mask_iou(
+    pred: np.ndarray,
+    target: np.ndarray,
+    eps: float = EPS,
+    ignore: np.ndarray = None,
+) -> float:
+    """pred: [N, H, W] foreground probabilities; target: [N, H, W] binary.
+
+    `ignore` (optional [N, H, W] bool) excludes pixels (the reference's
+    ignore_label=255 padding) from intersection/union; frames with no valid
+    pixel are dropped from the average. With ignore=None this is exactly the
+    reference formula (ref: sem_seg_evaluation.py:66-92), which counts every
+    pixel — the reference never feeds padded GT to its evaluator, so the two
+    agree on all benchmark inputs."""
     assert pred.ndim == 3 and pred.shape == target.shape
     N = pred.shape[0]
-    num_pixels = pred.shape[-1] * pred.shape[-2]
     p = (pred > 0.5).astype(np.int64)
     t = (target > 0).astype(np.int64)
+    v = np.ones_like(t) if ignore is None else (~ignore.astype(bool)).astype(np.int64)
+    num_pixels = v.sum(axis=(1, 2))
 
-    inter = (p * t).sum(axis=(1, 2))
-    union = np.maximum(p, t).sum(axis=(1, 2))
-    no_obj = t.sum(axis=(1, 2)) == 0
-    inter_no_obj = ((1 - t) * (1 - p)).sum(axis=(1, 2))
+    inter = (p * t * v).sum(axis=(1, 2))
+    union = (np.maximum(p, t) * v).sum(axis=(1, 2))
+    no_obj = (t * v).sum(axis=(1, 2)) == 0
+    inter_no_obj = ((1 - t) * (1 - p) * v).sum(axis=(1, 2))
     inter = np.where(no_obj, inter_no_obj, inter)
     union = np.where(no_obj, num_pixels, union)
-    return float((inter / (union + eps)).sum() / N)
+    keep = num_pixels > 0
+    n = max(int(keep.sum()), 1) if ignore is not None else N
+    return float((inter[keep] / (union[keep] + eps)).sum() / n)
 
 
-def eval_fmeasure(pred: np.ndarray, gt: np.ndarray, pr_num: int = 255) -> float:
-    """Max-F over thresholds, averaged over non-empty-GT frames."""
+def eval_fmeasure(
+    pred: np.ndarray, gt: np.ndarray, pr_num: int = 255, ignore: np.ndarray = None
+) -> float:
+    """Max-F over thresholds, averaged over non-empty-GT frames. Optional
+    `ignore` [N, H, W] bool excludes pixels from the sweep."""
     N = pred.shape[0]
     beta2 = 0.3
     thresholds = np.linspace(0, 1 - 1e-10, pr_num, dtype=np.float64)
@@ -49,10 +67,13 @@ def eval_fmeasure(pred: np.ndarray, gt: np.ndarray, pr_num: int = 255) -> float:
     img_num = 0
     for i in range(N):
         g = (gt[i] > 0).astype(np.float64)
-        if g.mean() == 0.0:
-            continue
         p = pred[i].astype(np.float64).reshape(-1)
         gflat = g.reshape(-1)
+        if ignore is not None:
+            keep = ~ignore[i].astype(bool).reshape(-1)
+            p, gflat = p[keep], gflat[keep]
+        if gflat.size == 0 or gflat.mean() == 0.0:
+            continue
         # vectorized sweep: tp per threshold
         y = p[None, :] >= thresholds[:, None]  # [pr_num, HW]
         tp = (y * gflat[None, :]).sum(-1)
@@ -85,12 +106,20 @@ def batch_miou_fscore(
     target: np.ndarray,  # [N, H, W] int labels in [0, C-1]
     nclass: int,
     beta2: float = 0.3,
+    ignore_label: int = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (iou_sum[C], fscore_sum[C], class_presence_count[C]) summed
-    over the N frames."""
+    over the N frames. `ignore_label` pixels (GT padding) are excluded from
+    every histogram; the reference's torch.histc already excludes them from
+    the label histogram (value nclass+1 falls outside [1, nclass]) but counts
+    the predictions there — excluded on both sides here."""
     predict = output.argmax(axis=1).astype(np.float64) + 1
     tgt = target.astype(np.float64) + 1
     predict = predict * (tgt > 0)
+    if ignore_label is not None:
+        valid = target != ignore_label
+        predict = predict * valid
+        tgt = tgt * valid
     intersection = predict * (predict == tgt)
 
     ious = np.zeros(nclass, np.float64)

@@ -35,9 +35,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every array in `batch` with its leading axis sharded on "data"."""
+    """Place every array in `batch` with its leading axis sharded on "data".
+
+    Single-host: a plain device_put. Multi-host: each process holds only its
+    slice of the global batch (TrainLoader shards by process), so the global
+    array is assembled from per-process locals — the TPU-native replacement
+    for the reference's per-rank DDP loader (ref: train_net.py:284-291)."""
     sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree, mesh: Mesh):

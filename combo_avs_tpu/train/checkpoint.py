@@ -149,7 +149,8 @@ def convert_d2_resnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[dict
             leaf = k[len("stem.conv1."):]
             if leaf == "weight":
                 _set(params, "stem_conv1/kernel", _conv(v))
-            elif leaf.startswith("norm."):
+            elif leaf.startswith("norm.") and leaf[5:] in norm_leaf:
+                # (num_batches_tracked etc. skipped)
                 _set(frozen, f"stem_norm1/{norm_leaf[leaf[5:]]}", v)
             continue
         m = re.match(r"res(\d)\.(\d+)\.(conv\d|shortcut)\.(.*)$", k)
@@ -159,7 +160,7 @@ def convert_d2_resnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[dict
         base = f"res{stage}_block{block}"
         if leaf == "weight":
             _set(params, f"{base}/{conv}/kernel", _conv(v))
-        elif leaf.startswith("norm."):
+        elif leaf.startswith("norm.") and leaf[5:] in norm_leaf:
             ntgt = "shortcut_norm" if conv == "shortcut" else f"norm{conv[-1]}"
             _set(frozen, f"{base}/{ntgt}/{norm_leaf[leaf[5:]]}", v)
     return params, frozen

@@ -122,10 +122,28 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, out_size) -> Callable:
-    """Returns per-frame semantic probability maps [B*T, C, H, W]."""
+def make_eval_step(model, out_size, bf16: bool = False) -> Callable:
+    """Returns per-frame semantic probability maps [B*T, C, H, W].
+
+    bf16=True runs the whole forward in bfloat16 (params, activations and
+    inputs; the Pallas deformable kernel still accumulates fp32) — the
+    TPU-native production inference path. `semantic_inference` (softmax x
+    sigmoid + upsample) stays fp32."""
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+        )
 
     def eval_step(params, frozen, batch: Dict):
+        if bf16:
+            params = _cast(params, jnp.bfloat16)
+            frozen = _cast(frozen, jnp.bfloat16)
+            batch = {
+                k: v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
+                for k, v in batch.items()
+            }
         outputs = model.apply(
             {"params": params, "frozen": frozen},
             batch["images"],
@@ -133,6 +151,12 @@ def make_eval_step(model, out_size) -> Callable:
             batch.get("pre_masks"),
             batch.get("vid_temporal_mask"),
         )
+        if bf16:
+            outputs = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                outputs,
+            )
         vt = batch.get("vid_temporal_mask")
         vt = None if vt is None else vt.reshape(-1)
         return semantic_inference(

@@ -24,6 +24,8 @@ from combo_avs_tpu.data.catalogs import DatasetCatalog, MetadataCatalog
 from combo_avs_tpu.data.loader import TrainLoader, eval_loader
 from combo_avs_tpu.data.mappers import AVSSemanticDatasetMapper
 from combo_avs_tpu.evaluation.evaluator import SemSegEvaluator, SemSegEvaluatorSS
+from combo_avs_tpu.evaluation.postprocess import crop_and_resize_gt, sem_seg_postprocess
+from combo_avs_tpu.parallel.distributed import merge_evaluator_across_hosts
 from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict
 from combo_avs_tpu.losses.matcher import HungarianMatcher
 from combo_avs_tpu.models.meta_arch import build_model
@@ -90,13 +92,31 @@ def build_criterion(cfg) -> SetCriterion:
     )
 
 
+def shard_records(records, process_index: int, process_count: int):
+    """Round-robin split of eval records across hosts (the reference shards
+    its test loader per rank and all_gathers meters,
+    ref: sem_seg_evaluation.py:256-265)."""
+    if process_count <= 1:
+        return records
+    return records[process_index::process_count]
+
+
 def evaluate(cfg, model, params, frozen, dataset_name: str,
-             batch_size: int = 1, max_videos: Optional[int] = None) -> Dict:
+             batch_size: int = 1, max_videos: Optional[int] = None,
+             process_index: Optional[int] = None,
+             process_count: Optional[int] = None) -> Dict:
     """Run inference_on_dataset (ref: evaluator.py:106-255) and return
-    {"sem_seg": {...}} metrics with the reference's timing logs."""
+    {"sem_seg": {...}} metrics with the reference's timing logs. Under
+    jax.distributed each host evaluates its record shard and accumulators
+    are summed across hosts before the final mean."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
     records = DatasetCatalog[dataset_name]()
     if max_videos:
         records = records[:max_videos]
+    records = shard_records(records, process_index, process_count)
     mapper = build_mapper(cfg, is_train=False)
     evaluator = build_evaluator(cfg, dataset_name)
     size = cfg.INPUT.SIZE_DIVISIBILITY if cfg.INPUT.SIZE_DIVISIBILITY > 0 else 224
@@ -112,20 +132,27 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
         B, T = batch["images"].shape[:2]
         sem = sem.reshape(B, T, *sem.shape[1:])
         for b in range(B):
-            evaluator.process(sem[b], batch["sem_segs"][b])
+            # original-size postprocess (ref: maskformer_model.py:397-441):
+            # crop the padded region, resize pred + GT to the record's (h, w)
+            hw = batch["image_size"][b]
+            oh, ow = int(batch["height"][b]), int(batch["width"][b])
+            pred = sem_seg_postprocess(sem[b], hw, oh, ow)
+            gt = crop_and_resize_gt(batch["sem_segs"][b], hw, oh, ow)
+            evaluator.process(pred, gt)
         n_frames_total += B * T
         t_mark = time.perf_counter()
 
     total = time.perf_counter() - t0
     n_iter = max(n_frames_total, 1)
     logger.info(
-        "Total inference time: %.6f s (%.6f s / iter per device, on 1 devices)",
-        total, total / n_iter,
+        "Total inference time: %.6f s (%.6f s / iter per device, on %d devices)",
+        total, total / n_iter, jax.local_device_count(),
     )
     logger.info(
-        "Total inference pure compute time: %.6f s (%.6f s / iter per device, on 1 devices)",
-        t_compute, t_compute / n_iter,
+        "Total inference pure compute time: %.6f s (%.6f s / iter per device, on %d devices)",
+        t_compute, t_compute / n_iter, jax.local_device_count(),
     )
+    merge_evaluator_across_hosts(evaluator)
     return evaluator.evaluate()
 
 
@@ -148,10 +175,14 @@ class Trainer:
     def _train_loader(self) -> Iterator:
         records = DatasetCatalog[self.cfg.DATASETS.TRAIN[0]]()
         mapper = build_mapper(self.cfg, is_train=True)
+        # multi-host: each process loads its slice of the global batch
+        # (ref DDP: one rank per GPU loads its own shard via the d2 sampler)
         return TrainLoader(
             records, mapper,
             batch_size=self.cfg.SOLVER.IMS_PER_BATCH,
             num_workers=self.cfg.DATALOADER.NUM_WORKERS,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
         )
 
     def resume_or_load(self, resume: bool = False):

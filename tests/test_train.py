@@ -82,21 +82,23 @@ def test_train_step_updates_and_freezes():
     state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
     step = make_train_step(model, criterion, wd, optimizer)
 
+    # the step donates its input state (buffers reused in place) — snapshot
+    # the comparison leaves to host first
+    a0 = np.asarray(jax.tree.leaves(state.params["audio_backbone"])[0])
+    d0 = np.asarray(jax.tree.leaves(state.params["sem_seg_head"])[0])
+    f0 = np.asarray(jax.tree.leaves(state.frozen)[0])
     new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
     # vggish params unchanged (multiplier 0)
-    a0 = jax.tree.leaves(state.params["audio_backbone"])[0]
     a1 = jax.tree.leaves(new_state.params["audio_backbone"])[0]
-    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(a0, np.asarray(a1))
     # decoder params changed
-    d0 = jax.tree.leaves(state.params["sem_seg_head"])[0]
     d1 = jax.tree.leaves(new_state.params["sem_seg_head"])[0]
-    assert np.abs(np.asarray(d0) - np.asarray(d1)).max() > 0
+    assert np.abs(d0 - np.asarray(d1)).max() > 0
     # frozen BN untouched
-    f0 = jax.tree.leaves(state.frozen)[0]
     f1 = jax.tree.leaves(new_state.frozen)[0]
-    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(f0, np.asarray(f1))
 
 
 def test_train_step_sharded_on_mesh():

@@ -22,6 +22,13 @@ def parse_args():
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=None)
+    # multi-host launch (replaces the reference's --num-machines /
+    # --machine-rank / --dist-url, ref: train_net.py:284-291); on TPU pods
+    # jax.distributed auto-discovers the coordinator and these can be omitted
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument(
         "--datasets-root",
         default=os.environ.get("DETECTRON2_DATASETS", os.environ.get("AVS_DATASETS", "AVS_dataset")),
@@ -87,6 +94,10 @@ def load_pretrained(cfg, trainer):
 
 def main():
     args = parse_args()
+    if args.coordinator or args.num_processes:
+        from combo_avs_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     cfg = setup(args)
 
     from combo_avs_tpu.train.trainer import Trainer
