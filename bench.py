@@ -60,7 +60,7 @@ def bench_eval():
 
     from combo_avs_tpu.models.meta_arch import MaskFormer, semantic_inference
 
-    B, T, S = 4, 5, 224  # 4 videos x 5 frames, the S4 regime
+    B, T, S = int(_flag("--bs", 4)), 5, 224  # videos x 5 frames, the S4 regime
     K = 8  # on-device loop length per timed call
     use_pvt = "pvt" in str(_flag("--model", ""))
     bf16 = not _flag("--fp32")
@@ -88,10 +88,10 @@ def bench_eval():
     def loop_steps(v, images, mel, pre):
         def body(i, carry):
             out = model.apply(v, images + carry.astype(dtype) * 1e-12, mel, pre)
+            # masks stay bf16 through the 224^2 upsample (semantic_inference
+            # contracts queries and returns fp32)
             sem = semantic_inference(
-                out["pred_logits"].astype(jnp.float32),
-                out["pred_masks"].astype(jnp.float32),
-                out_size=(S, S),
+                out["pred_logits"], out["pred_masks"], out_size=(S, S)
             )
             return sem.mean()
 
@@ -101,13 +101,16 @@ def bench_eval():
     args = jax.device_put(
         (variables, cast_in(images), cast_in(mel), cast_in(pre))
     )
-    lowered = loop_steps.lower(*args)
-    compiled = lowered.compile()
-    try:  # measured FLOPs of the exact compiled graph (per timed call)
-        flops_total = float(compiled.cost_analysis()["flops"])
+
+    try:  # measured FLOPs: XLA's cost analysis counts the fori_loop body
+        # exactly once (verified: body/frames matches an unlooped lowering),
+        # so the looped graph's total IS one step's FLOPs
+        flops_step = float(
+            loop_steps.lower(*args).compile().cost_analysis()["flops"]
+        )
     except Exception:
-        flops_total = 0.0
-    float(loop_steps(*args))  # warm up (compile already cached)
+        flops_step = 0.0
+    float(loop_steps(*args))  # warm up (same jit: compile already done)
 
     times = []
     for _ in range(3):
@@ -117,7 +120,7 @@ def bench_eval():
     dt = min(times)
 
     frames_per_sec = B * T / dt
-    flops_per_frame = flops_total / K / (B * T)
+    flops_per_frame = flops_step / (B * T)
     achieved_tflops = flops_per_frame * frames_per_sec / 1e12
     mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
     # FLOPs-derived A100 reference estimate (see module docstring)

@@ -169,15 +169,21 @@ def semantic_inference(
     temporal_mask: Optional[jnp.ndarray] = None,  # [N]
 ) -> jnp.ndarray:
     """softmax(cls) x sigmoid(mask) semantic maps, optionally upsampled
-    (ref: maskformer_model.py:397-402,460-471). Returns [N, C, H, W]."""
+    (ref: maskformer_model.py:397-402,460-471). Returns [N, C, H, W] float32.
+
+    The [N, Q, H, W] upsampled-mask intermediate dominates eval HBM traffic
+    (Q=100 at 224^2 is 400 MB fp32 per 20-frame batch); it is kept in the
+    input dtype (bf16 on the production eval path) and only the Q-contracted
+    [N, C, H, W] output is fp32."""
     if out_size is not None:
         N, Q = mask_pred.shape[:2]
         mask_pred = jax.image.resize(mask_pred, (N, Q, *out_size), "bilinear")
-    cls = jax.nn.softmax(mask_cls, axis=-1)[..., :-1]
-    sem = jnp.einsum("nqc,nqhw->nchw", cls, jax.nn.sigmoid(mask_pred))
+    cls = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[..., :-1]
+    sem = jnp.einsum("nqc,nqhw->nchw", cls, jax.nn.sigmoid(mask_pred),
+                     preferred_element_type=jnp.float32)
     if temporal_mask is not None:
         sem = sem * temporal_mask[:, None, None, None]
-    return sem
+    return sem.astype(jnp.float32)
 
 
 def build_model(cfg, deterministic: bool = True) -> MaskFormer:

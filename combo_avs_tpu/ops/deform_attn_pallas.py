@@ -364,6 +364,15 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights, g,
     return dvalue, dloc, dweights
 
 
+def _precision_for(value):
+    # bf16 values: the interpolation matmul runs one native MXU pass
+    # (DEFAULT); fp32 values keep HIGHEST for bit-level parity with the
+    # reference CUDA op (6-pass decomposition).
+    if value.dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas(
     value: jnp.ndarray,
@@ -372,11 +381,13 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for `ops.deform_attn.ms_deform_attn`."""
-    return _forward(value, spatial_shapes, sampling_locations, attention_weights)
+    return _forward(value, spatial_shapes, sampling_locations, attention_weights,
+                    precision=_precision_for(value))
 
 
 def _fwd(value, spatial_shapes, loc, w):
-    return _forward(value, spatial_shapes, loc, w), (value, loc, w)
+    out = _forward(value, spatial_shapes, loc, w, precision=_precision_for(value))
+    return out, (value, loc, w)
 
 
 def _bwd(spatial_shapes, res, g):

@@ -151,12 +151,8 @@ def make_eval_step(model, out_size, bf16: bool = False) -> Callable:
             batch.get("pre_masks"),
             batch.get("vid_temporal_mask"),
         )
-        if bf16:
-            outputs = jax.tree.map(
-                lambda x: x.astype(jnp.float32)
-                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
-                outputs,
-            )
+        # bf16 outputs feed semantic_inference directly: the mask upsample
+        # stays bf16 (half the HBM traffic) and the result comes back fp32
         vt = batch.get("vid_temporal_mask")
         vt = None if vt is None else vt.reshape(-1)
         return semantic_inference(
