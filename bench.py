@@ -163,7 +163,9 @@ def bench_train():
     from combo_avs_tpu.train.train_step import create_train_state, make_train_step
 
     B = int(_flag("--bs", 8))
-    T, S, Kslots = 5, 224, 8
+    # Kslots = 3: the S4/MS3 mapper pads binary-GT targets to 3 instance
+    # slots (trainer.build_mapper max_instances)
+    T, S, Kslots = 5, 224, 3
     LOOP = 4
 
     model = MaskFormer(deterministic=False)

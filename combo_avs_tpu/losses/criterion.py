@@ -54,7 +54,14 @@ def uncertainty_sampled_points(
     coords = jax.random.uniform(k1, (M, n_sampled, 2))
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
     uncertainty = -jnp.abs(logits)
-    _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+    if jax.devices()[0].platform == "tpu":
+        # TPU-native approximate top-k (PartialReduce): ~3x faster than the
+        # exact sort at 37k points, recall >= 0.95. The "top uncertain" set
+        # is a heuristic over RANDOM points — swapping a few near-top points
+        # for each other preserves the PointRend semantics.
+        _, idx = jax.lax.approx_max_k(uncertainty, n_uncertain, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(uncertainty, n_uncertain)
     top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
     rand_coords = jax.random.uniform(k2, (M, n_random, 2))
     return jax.lax.stop_gradient(jnp.concatenate([top_coords, rand_coords], axis=1))
@@ -107,28 +114,35 @@ class SetCriterion:
 
         src_f = src.reshape(N * K, h, w).astype(jnp.float32)
         tgt_f = tgt_masks.reshape(N * K, *tgt_masks.shape[2:]).astype(jnp.float32)
+        # point selection and GT labels carry no gradient — keep them OUTSIDE
+        # the checkpointed region so the backward pass never replays the 3x
+        # oversample / top-k / 224^2 GT sampling
         coords = uncertainty_sampled_points(
             key, jax.lax.stop_gradient(src_f), self.num_points,
             self.oversample_ratio, self.importance_sample_ratio,
         )
-        point_logits = point_sample(src_f[..., None], coords)[..., 0]  # [NK, P]
         point_labels = jax.lax.stop_gradient(
             point_sample(tgt_f[..., None], coords)[..., 0]
         )
-
         vmask = valid.reshape(N * K).astype(jnp.float32)
-        # sigmoid CE, mean over points then sum over valid masks (ref :40-62)
-        ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
-            -jnp.abs(point_logits)
-        )
-        loss_mask = ((ce.mean(-1) * vmask).sum()) / num_masks
-        # dice (ref :17-37)
-        p = jax.nn.sigmoid(point_logits)
-        numerator = 2.0 * (p * point_labels).sum(-1)
-        denominator = p.sum(-1) + point_labels.sum(-1)
-        dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
-        loss_dice = (dice * vmask).sum() / num_masks
-        return loss_mask, loss_dice
+
+        def core(src_f):
+            point_logits = point_sample(src_f[..., None], coords)[..., 0]  # [NK, P]
+            # sigmoid CE, mean over points then sum over valid masks (ref :40-62)
+            ce = jnp.maximum(point_logits, 0) - point_logits * point_labels \
+                + jax.nn.softplus(-jnp.abs(point_logits))
+            loss_mask = ((ce.mean(-1) * vmask).sum()) / num_masks
+            # dice (ref :17-37)
+            p = jax.nn.sigmoid(point_logits)
+            numerator = 2.0 * (p * point_labels).sum(-1)
+            denominator = p.sum(-1) + point_labels.sum(-1)
+            dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+            loss_dice = (dice * vmask).sum() / num_masks
+            return loss_mask, loss_dice
+
+        if self.remat:
+            core = jax.checkpoint(core)
+        return core(src_f)
 
     # ------------------------------------------------------------------
     def _loss_cosine(self, middle: jnp.ndarray) -> jnp.ndarray:
@@ -178,20 +192,16 @@ class SetCriterion:
         losses: Dict[str, jnp.ndarray] = {}
         keys = jax.random.split(key, 2 * len(layers))
 
-        # rematerialize each decoder layer's matched losses: the PointRend
-        # oversampling intermediates (~37k points x N*K masks per layer x 10
-        # layers) would otherwise all be saved for the backward pass
-        def layer_losses(k1, k2, logits, masks):
-            assign = self.matcher(k1, logits, masks, labels, tgt_masks, valid)
-            ce = self._loss_labels(logits, labels, valid, assign, frame_weight)
-            lm, ld = self._loss_masks(k2, masks, tgt_masks, valid, assign, num_masks)
-            return ce, lm, ld
-
-        if self.remat:
-            layer_losses = jax.checkpoint(layer_losses)
-
+        # per layer: matcher and point selection are gradient-free and run
+        # once (outside any remat); only _loss_masks' differentiable core is
+        # checkpointed (see _loss_masks) so backward replays just one 12544-
+        # point sampling per layer instead of the full matcher + oversample
         for j, (logits, masks, suffix) in enumerate(layers):
-            ce, lm, ld = layer_losses(keys[2 * j], keys[2 * j + 1], logits, masks)
+            assign = self.matcher(keys[2 * j], logits, masks, labels, tgt_masks, valid)
+            ce = self._loss_labels(logits, labels, valid, assign, frame_weight)
+            lm, ld = self._loss_masks(
+                keys[2 * j + 1], masks, tgt_masks, valid, assign, num_masks
+            )
             losses[f"loss_ce{suffix}"] = ce
             losses[f"loss_mask{suffix}"] = lm
             losses[f"loss_dice{suffix}"] = ld

@@ -27,8 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from combo_avs_tpu.ops.grid_sample import point_sample
 from combo_avs_tpu.ops.lsap import solve_lsap_batch
+from combo_avs_tpu.ops.point_sample_pallas import point_sample_shared_or_fallback
 
 # Padding cost for invalid target slots. Must dominate any real cost (max
 # real magnitude ~12 = 2*CE + 5*BCE + 5*dice) yet stay small enough that
@@ -36,6 +36,12 @@ from combo_avs_tpu.ops.lsap import solve_lsap_batch
 # (fp32 spacing at 1e4 is ~1e-3; at 1e8 it would be ~8 — comparable to real
 # cost gaps).
 BIG_COST = 1e4
+
+# Frame-chunk size for the cost computation. The per-frame transients
+# (out_pts/pos/neg, each [chunk, Q, 12544] fp32) dominate the matcher's HBM
+# peak; matching is forward-only, so lax.map-ing chunks bounds the peak at
+# ~300 MB with zero backward cost. 20 = one bs4 x 5-frame batch.
+_COST_CHUNK = 20
 
 
 def batch_sigmoid_ce_cost(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -74,28 +80,46 @@ class HungarianMatcher:
         tgt_labels [N, K], tgt_masks [N, K, H, W], tgt_valid [N, K] -> [N, Q, K].
 
         All masks of a frame are point-sampled in ONE packed call (masks ride
-        the channel dim) — the per-frame shared point set makes this exact."""
+        the channel dim) — the per-frame shared point set makes this exact.
+
+        The whole cost is matching-only (no gradients — ref: matcher.py:102
+        @torch.no_grad): inputs are stop_gradient'ed here so the forward-only
+        shared-points sampling kernel is never differentiated."""
+        pred_logits = jax.lax.stop_gradient(pred_logits)
+        pred_masks = jax.lax.stop_gradient(pred_masks)
         N, Q = pred_logits.shape[:2]
         K = tgt_labels.shape[1]
-        out_prob = jax.nn.softmax(pred_logits, axis=-1)  # [N, Q, C+1]
-        cost_class = -jnp.take_along_axis(
-            out_prob, tgt_labels[:, None, :], axis=2
-        )  # [N, Q, K]
-
         pts = jax.random.uniform(key, (N, self.num_points, 2))
-        out_pts = point_sample(
-            pred_masks.transpose(0, 2, 3, 1), pts
-        ).transpose(0, 2, 1)  # [N, Q, P]
-        tgt_pts = point_sample(
-            tgt_masks.transpose(0, 2, 3, 1), pts
-        ).transpose(0, 2, 1)  # [N, K, P]
 
-        C = (
-            self.cost_class * cost_class
-            + self.cost_mask * jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
-            + self.cost_dice * jax.vmap(batch_dice_cost)(out_pts, tgt_pts)
-        )
-        return jnp.where(tgt_valid[:, None, :], C, BIG_COST)
+        def _cost(args):
+            logits_c, masks_c, tl_c, tm_c, tv_c, pts_c = args
+            out_prob = jax.nn.softmax(logits_c, axis=-1)  # [n, Q, C+1]
+            cost_class = -jnp.take_along_axis(
+                out_prob, tl_c[:, None, :], axis=2
+            )  # [n, Q, K]
+            # all Q (or K) masks share the frame's point set: ONE
+            # interpolation matrix per point block, channels ride the MXU
+            out_pts = point_sample_shared_or_fallback(
+                masks_c.transpose(0, 2, 3, 1), pts_c
+            ).transpose(0, 2, 1)  # [n, Q, P]
+            tgt_pts = point_sample_shared_or_fallback(
+                tm_c.transpose(0, 2, 3, 1), pts_c
+            ).transpose(0, 2, 1)  # [n, K, P]
+            C = (
+                self.cost_class * cost_class
+                + self.cost_mask * jax.vmap(batch_sigmoid_ce_cost)(out_pts, tgt_pts)
+                + self.cost_dice * jax.vmap(batch_dice_cost)(out_pts, tgt_pts)
+            )
+            return jnp.where(tv_c[:, None, :], C, BIG_COST)
+
+        args = (pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, pts)
+        if N > _COST_CHUNK and N % _COST_CHUNK == 0:
+            n = N // _COST_CHUNK
+            return jax.lax.map(
+                _cost,
+                jax.tree.map(lambda x: x.reshape(n, _COST_CHUNK, *x.shape[1:]), args),
+            ).reshape(N, Q, K)
+        return _cost(args)
 
     def __call__(self, key, pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid):
         """Batched matching.

@@ -44,6 +44,13 @@ PBLK = 512  # points per grid cell
 # chunk the group axis so each call's outputs stay well under it.
 _MAX_OUT_BYTES = 4 * 1024 * 1024
 
+# Single-pass bf16 MXU products (~4e-3 relative; Mosaic supports only
+# DEFAULT and HIGHEST). The interpolation weights themselves are built
+# exactly in fp32 on the VPU; only the sampled mask logits/labels round —
+# harmless for PointRend losses and matching costs, and 6x fewer MXU passes
+# than HIGHEST. Interpret-mode parity tests run exact fp32 either way.
+_PREC = jax.lax.Precision.DEFAULT
+
 
 def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -84,9 +91,9 @@ def _fwd_kernel(xs_ref, ys_ref, img_ref, out_ref, *, H, W, pblk, precision):
     R = jax.lax.dot(rowsel, img, precision=precision,
                     preferred_element_type=jnp.float32)  # [pblk, W]
     colw = _colw(x0i, fx, xv0, xv1, pblk, W)
-    ones = jnp.ones((W, 1), jnp.float32)
-    out = jax.lax.dot(colw * R, ones, precision=precision,
-                      preferred_element_type=jnp.float32)  # [pblk, 1]
+    # lane-reduce instead of an @ones matmul: an MXU pass with N=1 costs a
+    # full padded tile; the VPU cross-lane sum is ~free
+    out = jnp.sum(colw * R, axis=1, keepdims=True)  # [pblk, 1]
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -114,7 +121,6 @@ def _dxy_kernel(xs_ref, ys_ref, img_ref, dout_ref, dxs_ref, dys_ref, *,
     x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
     img = img_ref[0].astype(jnp.float32)
     dout = dout_ref[0].astype(jnp.float32)  # [pblk, 1]
-    ones = jnp.ones((W, 1), jnp.float32)
 
     rowsel = _rowsel(y0i, fy, yv0, yv1, pblk, H)
     R = jax.lax.dot(rowsel, img, precision=precision,
@@ -123,8 +129,7 @@ def _dxy_kernel(xs_ref, ys_ref, img_ref, dout_ref, dxs_ref, dys_ref, *,
     # d colw / dx : corners keep their validity masks (zero-padding grads)
     dcol = (iw == x0i + 1) * (1.0 * xv1) - (iw == x0i) * (1.0 * xv0)
     dxs_ref[0] = (
-        jax.lax.dot(dcol * R, ones, precision=precision,
-                    preferred_element_type=jnp.float32) * dout
+        jnp.sum(dcol * R, axis=1, keepdims=True) * dout
     ).astype(dxs_ref.dtype)
 
     ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1)
@@ -133,8 +138,7 @@ def _dxy_kernel(xs_ref, ys_ref, img_ref, dout_ref, dxs_ref, dys_ref, *,
                       preferred_element_type=jnp.float32)  # [pblk, W]
     colw = _colw(x0i, fx, xv0, xv1, pblk, W)
     dys_ref[0] = (
-        jax.lax.dot(colw * Rdy, ones, precision=precision,
-                    preferred_element_type=jnp.float32) * dout
+        jnp.sum(colw * Rdy, axis=1, keepdims=True) * dout
     ).astype(dys_ref.dtype)
 
 
@@ -163,7 +167,7 @@ def _group_chunks(G, bytes_per_g):
     return gc
 
 
-def _forward(feat, points, precision=jax.lax.Precision.HIGHEST, interpret=False):
+def _forward(feat, points, precision=_PREC, interpret=False):
     N, H, W, C = feat.shape
     dtype = feat.dtype
     img, xs, ys, P, Pp = _prep(feat, points)
@@ -199,8 +203,7 @@ def _forward(feat, points, precision=jax.lax.Precision.HIGHEST, interpret=False)
     return out.astype(dtype)
 
 
-def _backward(feat, points, g, precision=jax.lax.Precision.HIGHEST,
-              interpret=False):
+def _backward(feat, points, g, precision=_PREC, interpret=False):
     N, H, W, C = feat.shape
     img, xs, ys, P, Pp = _prep(feat, points)
     G = N * C
@@ -298,3 +301,132 @@ def _vjp_bwd(res, g):
 
 
 point_sample_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# shared-points multichannel sampling (the Hungarian matcher's shape)
+# ---------------------------------------------------------------------------
+#
+# The matcher point-samples ALL Q=100 predicted masks of a frame at ONE
+# shared 12544-point set (ref: models/modeling/matcher.py:104-131). Routing
+# that through the per-channel kernel rebuilds identical row/column one-hots
+# 100x (measured 294 ms per decoder layer at bs8 — the dominant train cost).
+# Here the bilinear interpolation matrix A[pblk, HW] is built ONCE per point
+# block and all channels ride one MXU matmul:
+#
+#     out[p, c] = A[p, :] @ V[:, c]      A[p, hw] = the 4 corner weights
+#
+# Exact grid_sample zero-padding: out-of-bounds corners never match the lane
+# iota. Requires HW and C to fit VMEM (A is [pblk, HW_pad] fp32) — the caller
+# falls back to the per-channel kernel otherwise.
+
+_SHARED_PBLK = 256
+_SHARED_MAX_HW = 4096  # A = [pblk, HW_pad] fp32 <= 4 MB
+_SHARED_MAX_C = 128
+
+
+def _shared_kernel(xs_ref, ys_ref, v_ref, out_ref, *, H, W, pblk, precision):
+    x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
+    seg = v_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+    wx = ((1.0 - fx) * xv0, fx * xv1)
+    wy = ((1.0 - fy) * yv0, fy * yv1)
+    A = jnp.zeros((pblk, seg), jnp.float32)
+    for dy in (0, 1):
+        base = (y0i + dy) * W
+        for dx in (0, 1):
+            idx = base + x0i + dx
+            # OOB corners carry zero weight (xv/yv masks), and their idx can
+            # only alias a neighboring row's lane — weight 0 keeps it exact
+            A = A + (idx == lane) * (wx[dx] * wy[dy])
+    out = jax.lax.dot(A, v_ref[0].astype(jnp.float32), precision=precision,
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def point_sample_shared(
+    feat: jnp.ndarray,  # [N, H, W, C]
+    points: jnp.ndarray,  # [N, P, 2] in [0, 1], shared by all C channels
+    precision=_PREC,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    N, H, W, C = feat.shape
+    P = points.shape[1]
+    dtype = feat.dtype
+    HWp = _pad_to(H * W, 128)
+    Cp = _pad_to(C, 128)
+    v = feat.reshape(N, H * W, C)
+    v = jnp.pad(v, ((0, 0), (0, HWp - H * W), (0, Cp - C)))
+
+    xs = points[..., 0] * W - 0.5
+    ys = points[..., 1] * H - 0.5
+    Pp = _pad_to(P, _SHARED_PBLK)
+    if Pp != P:
+        xs = jnp.pad(xs, ((0, 0), (0, Pp - P)), constant_values=-10.0)
+        ys = jnp.pad(ys, ((0, 0), (0, Pp - P)), constant_values=-10.0)
+    xs = xs[..., None]
+    ys = ys[..., None]
+
+    # chunk point and group axes so each call's output [gc, pc, Cp] stays
+    # under the scoped-vmem cap for custom-call results; pc must be a whole
+    # number of point blocks dividing Pp
+    nblk = Pp // _SHARED_PBLK
+    n_pc = nblk
+    for k in range(1, nblk + 1):
+        if nblk % k == 0 and (nblk // k) * _SHARED_PBLK * Cp * 4 <= _MAX_OUT_BYTES:
+            n_pc = k
+            break
+    pc = Pp // n_pc
+    gc = _group_chunks(N, pc * Cp * 4)
+
+    kern = functools.partial(_shared_kernel, H=H, W=W, pblk=_SHARED_PBLK,
+                             precision=precision)
+
+    def call(args):
+        xs_c, ys_c, v_c = args
+        return pl.pallas_call(
+            kern,
+            grid=(gc, pc // _SHARED_PBLK),
+            in_specs=[
+                pl.BlockSpec((1, _SHARED_PBLK, 1), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, _SHARED_PBLK, 1), lambda g, q: (g, q, 0)),
+                pl.BlockSpec((1, HWp, Cp), lambda g, q: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, _SHARED_PBLK, Cp), lambda g, q: (g, q, 0)),
+            out_shape=jax.ShapeDtypeStruct((gc, pc, Cp), jnp.float32),
+            interpret=interpret,
+        )(xs_c, ys_c, v_c)
+
+    def over_groups(xs_p, ys_p):
+        if gc == N:
+            return call((xs_p, ys_p, v))
+        n = N // gc
+        return jax.lax.map(
+            call,
+            (xs_p.reshape(n, gc, pc, 1), ys_p.reshape(n, gc, pc, 1),
+             v.reshape(n, gc, HWp, Cp)),
+        ).reshape(N, pc, Cp)
+
+    # static python loop over point chunks: v is reused (never broadcast)
+    outs = [
+        over_groups(xs[:, i * pc : (i + 1) * pc], ys[:, i * pc : (i + 1) * pc])
+        for i in range(n_pc)
+    ]
+    out = outs[0] if n_pc == 1 else jnp.concatenate(outs, axis=1)
+    out = out[:, :P, :C]
+    return out.astype(dtype)
+
+
+def point_sample_shared_or_fallback(feat, points):
+    """Shared-points fast path when shapes fit; per-channel kernel or XLA
+    composition otherwise. Forward-only (matcher costs are stop_gradient)."""
+    N, H, W, C = feat.shape
+    if (
+        jax.devices()[0].platform == "tpu"
+        and _pad_to(H * W, 128) <= _SHARED_MAX_HW
+        and C <= _SHARED_MAX_C
+    ):
+        return point_sample_shared(feat, points)
+    from combo_avs_tpu.ops.grid_sample import point_sample
+
+    return point_sample(feat, points)

@@ -243,8 +243,8 @@ def convert_pixel_decoder(sd, prefix="sem_seg_head.pixel_decoder.", enc_layers=6
         _set(p, f"{enc}/{ln}/scale", stack(f"{ln}.weight"))
         _set(p, f"{enc}/{ln}/bias", stack(f"{ln}.bias"))
     for lin in ("linear1", "linear2"):
-        _set(p, f"{enc}/{lin}/kernel", stack(f"{lin}.weight", _lin))
-        _set(p, f"{enc}/{lin}/bias", stack(f"{lin}.bias"))
+        _set(p, f"{enc}/ffn/{lin}/kernel", stack(f"{lin}.weight", _lin))
+        _set(p, f"{enc}/ffn/{lin}/bias", stack(f"{lin}.bias"))
 
     # FPN level (S4 config has exactly one: adapter_1 / layer_1)
     _set(p, "adapter0/kernel", _conv(sd[f"{prefix}adapter_1.weight"]))

@@ -93,3 +93,29 @@ def test_group_chunking_path():
         psp._MAX_OUT_BYTES = orig
     ref = point_sample_xla(feat, pts)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 13, 9, 5, 700), (1, 16, 16, 100, 512),
+                                   (3, 7, 31, 1, 300)])
+def test_shared_points_forward_parity(shape):
+    """Shared-points multichannel kernel (the matcher's shape: one point set
+    sampling all channels) vs the XLA composition."""
+    N, H, W, C, P = shape
+    feat, pts = _inputs(N, H, W, C, P)
+    ours = psp.point_sample_shared(feat, pts, interpret=True)
+    ref = point_sample_xla(feat, pts)
+    assert ours.shape == (N, P, C)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_shared_points_chunking_path():
+    """P large enough to force the point-axis output chunking (n_pc > 1)."""
+    N, H, W, C, P = 2, 8, 8, 128, 12544
+    rng = np.random.RandomState(7)
+    feat = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    pts = jnp.asarray(rng.rand(N, P, 2).astype(np.float32))
+    ours = psp.point_sample_shared(feat, pts, interpret=True)
+    ref = point_sample_xla(feat, pts)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
