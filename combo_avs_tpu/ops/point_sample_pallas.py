@@ -8,13 +8,15 @@ one-hot deformable-attention kernel, but its [qblk, HW] VMEM accumulator
 capped images at HW<=16384 — 224^2 GT masks stayed on the slow gather path
 (the dominant train-step cost), and its backward replayed the XLA gathers.
 
-How: bilinear sampling factorizes into two one-hot interpolation stages that
-both ride the MXU and never materialize a [points, HW] matrix:
+How: bilinear sampling factorizes into two interpolation stages that ride
+the MXU and never materialize a [points, HW] matrix:
 
-    R[p, :]  = rowsel[p, :H] @ img[H, W]      rowsel = wy-weighted y one-hots
-    out[p]   = (colw[p, :W] * R[p, :]) @ 1_W  colw   = wx-weighted x one-hots
+    R[p, :]  = rowsel[p, :H] @ img[H, W]      rowsel = tent(row - y)
+    out[p]   = (colw[p, :W] * R[p, :]) @ 1_W  colw   = tent(col - x)
 
-Out-of-bounds corners never match their one-hot (grid_sample zero padding).
+where tent(t) = max(0, 1 - |t|) evaluates both bilinear corner weights in
+one wide VPU pass; out-of-bounds corners have no lane (grid_sample zero
+padding).
 The VJP is matmul-form too:
 
     dimg = rowsel^T @ (colw * dout)                       (MXU)
@@ -56,41 +58,38 @@ def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _corners(xs_ref, ys_ref, H, W):
-    x = xs_ref[0]  # [pblk, 1]
-    y = ys_ref[0]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    xv0 = (x0i >= 0) & (x0i < W)
-    xv1 = (x0i + 1 >= 0) & (x0i + 1 < W)
-    yv0 = (y0i >= 0) & (y0i < H)
-    yv1 = (y0i + 1 >= 0) & (y0i + 1 < H)
-    return x0i, y0i, fx, fy, xv0, xv1, yv0, yv1
+def _tent(t):
+    """Separable bilinear weight: nonzero exactly at the two enclosing
+    integer coordinates with the fractional weights; out-of-range corners
+    have no lane (grid_sample zero padding)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _rowsel(y0i, fy, yv0, yv1, pblk, H):
-    """wy-weighted one-hot row-selection matrix [pblk, H]."""
-    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1)
-    return (ih == y0i) * ((1.0 - fy) * yv0) + (ih == y0i + 1) * (fy * yv1)
+def _tent_grad(t):
+    """d/dx tent(c - x) as grid_sample computes it (floor-based corner
+    step): -1 on the floor lane (t in (-1, 0]), +1 on the ceil lane
+    (t in (0, 1]) — incl. the fractional == 0 case."""
+    return jnp.where((t > -1.0) & (t <= 1.0), jnp.where(t > 0.0, 1.0, -1.0), 0.0)
 
 
-def _colw(x0i, fx, xv0, xv1, pblk, W):
-    """wx-weighted one-hot column weights [pblk, W]."""
-    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1)
-    return (iw == x0i) * ((1.0 - fx) * xv0) + (iw == x0i + 1) * (fx * xv1)
+def _rowsel(ys_ref, pblk, H):
+    """wy-weighted row-selection matrix [pblk, H]."""
+    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1).astype(jnp.float32)
+    return _tent(ih - ys_ref[0])
+
+
+def _colw(xs_ref, pblk, W):
+    """wx-weighted column weights [pblk, W]."""
+    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1).astype(jnp.float32)
+    return _tent(iw - xs_ref[0])
 
 
 def _fwd_kernel(xs_ref, ys_ref, img_ref, out_ref, *, H, W, pblk, precision):
-    x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
-    rowsel = _rowsel(y0i, fy, yv0, yv1, pblk, H)
+    rowsel = _rowsel(ys_ref, pblk, H)
     img = img_ref[0].astype(jnp.float32)
     R = jax.lax.dot(rowsel, img, precision=precision,
                     preferred_element_type=jnp.float32)  # [pblk, W]
-    colw = _colw(x0i, fx, xv0, xv1, pblk, W)
+    colw = _colw(xs_ref, pblk, W)
     # lane-reduce instead of an @ones matmul: an MXU pass with N=1 costs a
     # full padded tile; the VPU cross-lane sum is ~free
     out = jnp.sum(colw * R, axis=1, keepdims=True)  # [pblk, 1]
@@ -104,9 +103,8 @@ def _dimg_kernel(xs_ref, ys_ref, dout_ref, dimg_ref, *, H, W, pblk, precision):
     def _():
         dimg_ref[0] = jnp.zeros((H, W), dimg_ref.dtype)
 
-    x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
-    rowsel = _rowsel(y0i, fy, yv0, yv1, pblk, H)
-    colw = _colw(x0i, fx, xv0, xv1, pblk, W)
+    rowsel = _rowsel(ys_ref, pblk, H)
+    colw = _colw(xs_ref, pblk, W)
     dR = colw * dout_ref[0].astype(jnp.float32)  # [pblk, W]
     # dimg += rowsel^T @ dR  (contract the point axis)
     upd = jax.lax.dot_general(
@@ -118,25 +116,23 @@ def _dimg_kernel(xs_ref, ys_ref, dout_ref, dimg_ref, *, H, W, pblk, precision):
 
 def _dxy_kernel(xs_ref, ys_ref, img_ref, dout_ref, dxs_ref, dys_ref, *,
                 H, W, pblk, precision):
-    x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
     img = img_ref[0].astype(jnp.float32)
     dout = dout_ref[0].astype(jnp.float32)  # [pblk, 1]
 
-    rowsel = _rowsel(y0i, fy, yv0, yv1, pblk, H)
+    rowsel = _rowsel(ys_ref, pblk, H)
     R = jax.lax.dot(rowsel, img, precision=precision,
                     preferred_element_type=jnp.float32)  # [pblk, W]
-    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1)
-    # d colw / dx : corners keep their validity masks (zero-padding grads)
-    dcol = (iw == x0i + 1) * (1.0 * xv1) - (iw == x0i) * (1.0 * xv0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1).astype(jnp.float32)
+    dcol = _tent_grad(iw - xs_ref[0])
     dxs_ref[0] = (
         jnp.sum(dcol * R, axis=1, keepdims=True) * dout
     ).astype(dxs_ref.dtype)
 
-    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1)
-    drow = (ih == y0i + 1) * (1.0 * yv1) - (ih == y0i) * (1.0 * yv0)
+    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1).astype(jnp.float32)
+    drow = _tent_grad(ih - ys_ref[0])
     Rdy = jax.lax.dot(drow, img, precision=precision,
                       preferred_element_type=jnp.float32)  # [pblk, W]
-    colw = _colw(x0i, fx, xv0, xv1, pblk, W)
+    colw = _colw(xs_ref, pblk, W)
     dys_ref[0] = (
         jnp.sum(colw * Rdy, axis=1, keepdims=True) * dout
     ).astype(dys_ref.dtype)
@@ -326,19 +322,16 @@ _SHARED_MAX_C = 128
 
 
 def _shared_kernel(xs_ref, ys_ref, v_ref, out_ref, *, H, W, pblk, precision):
-    x0i, y0i, fx, fy, xv0, xv1, yv0, yv1 = _corners(xs_ref, ys_ref, H, W)
     seg = v_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-    wx = ((1.0 - fx) * xv0, fx * xv1)
-    wy = ((1.0 - fy) * yv0, fy * yv1)
-    A = jnp.zeros((pblk, seg), jnp.float32)
-    for dy in (0, 1):
-        base = (y0i + dy) * W
-        for dx in (0, 1):
-            idx = base + x0i + dx
-            # OOB corners carry zero weight (xv/yv masks), and their idx can
-            # only alias a neighboring row's lane — weight 0 keeps it exact
-            A = A + (idx == lane) * (wx[dx] * wy[dy])
+    row = lane // W
+    col = lane - row * W
+    pad = lane >= H * W
+    colf = jnp.where(pad, -1e4, col.astype(jnp.float32))
+    rowf = jnp.where(pad, -1e4, row.astype(jnp.float32))
+    # one separable tent per point row builds the whole 2x2 bilinear
+    # footprint; out-of-level corners have no lane (zero padding)
+    A = _tent(colf - xs_ref[0]) * _tent(rowf - ys_ref[0])
     out = jax.lax.dot(A, v_ref[0].astype(jnp.float32), precision=precision,
                       preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
