@@ -82,23 +82,43 @@ class VideoTransform:
         return x[y : y + ch, xx : xx + cw]
 
 
+def _cvt(img: np.ndarray, alpha: float = 1.0, beta: float = 0.0) -> np.ndarray:
+    """d2 ColorAugSSDTransform.convert: fp32 affine, clip, back to uint8."""
+    return np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+
+
 def _apply_ssd_color(img: np.ndarray, p: dict) -> np.ndarray:
-    """SSD photometric distortion (d2 ColorAugSSDTransform semantics):
-    brightness delta, contrast, HSV saturation, hue delta."""
-    out = img.astype(np.float32)
+    """SSD photometric distortion, byte-faithful to d2's
+    `ColorAugSSDTransform.apply_image` (detectron2 PointRend
+    color_augmentation.py; selected by the reference mappers, ref:
+    avss4_semantic_dataset_mapper.py:90): the image is processed in BGR,
+    brightness first, then contrast either before or after the
+    saturation/hue pair; every sub-op round-trips through uint8 and
+    saturation/hue each do their own BGR<->HSV round trip."""
+    out = img[:, :, ::-1]  # RGB -> BGR (d2 converts to BGR internally)
     if p["brightness"] is not None:
-        out = out + p["brightness"]
-    if p["contrast_first"] and p["contrast"] is not None:
-        out = out * p["contrast"]
-    hsv = cv2.cvtColor(np.clip(out, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
-    if p["saturation"] is not None:
-        hsv[..., 1] = np.clip(hsv[..., 1] * p["saturation"], 0, 255)
-    if p["hue"] is not None:
-        hsv[..., 0] = (hsv[..., 0] + p["hue"]) % 180
-    out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
-    if (not p["contrast_first"]) and p["contrast"] is not None:
-        out = out * p["contrast"]
-    return np.clip(out, 0, 255).astype(np.uint8)
+        out = _cvt(out, beta=p["brightness"])
+
+    def saturation_hue(out):
+        if p["saturation"] is not None:
+            hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 1] = _cvt(hsv[:, :, 1], alpha=p["saturation"])
+            out = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        if p["hue"] is not None:
+            hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + p["hue"]) % 180
+            out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+        return out
+
+    if p["contrast_first"]:
+        if p["contrast"] is not None:
+            out = _cvt(out, alpha=p["contrast"])
+        out = saturation_hue(out)
+    else:
+        out = saturation_hue(out)
+        if p["contrast"] is not None:
+            out = _cvt(out, alpha=p["contrast"])
+    return np.ascontiguousarray(out[:, :, ::-1])  # back to RGB
 
 
 def sample_video_transform(
@@ -126,12 +146,15 @@ def sample_video_transform(
 
     color = None
     if color_aug:
+        # d2 ColorAugSSDTransform sampling: each sub-op fires with prob 1/2,
+        # brightness delta uniform(-32, 32), contrast/saturation alpha
+        # uniform(0.5, 1.5), hue an INTEGER delta in [-18, 18]
         color = {
             "brightness": rng.uniform(-32, 32) if rng.rand() < 0.5 else None,
             "contrast": rng.uniform(0.5, 1.5) if rng.rand() < 0.5 else None,
             "contrast_first": bool(rng.rand() < 0.5),
             "saturation": rng.uniform(0.5, 1.5) if rng.rand() < 0.5 else None,
-            "hue": rng.uniform(-18, 18) if rng.rand() < 0.5 else None,
+            "hue": int(rng.randint(-18, 19)) if rng.rand() < 0.5 else None,
         }
     return VideoTransform((nh, nw), crop_yx, csize, flip and rng.rand() < 0.5, color)
 

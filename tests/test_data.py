@@ -146,3 +146,52 @@ def test_avss_catalog_and_buckets(avss_root):
         b = next(loader)
         assert b["images"].shape[1] in (5, 10)
     loader.close()
+
+
+def test_ssd_color_aug_d2_semantics():
+    """_apply_ssd_color is byte-faithful to d2 ColorAugSSDTransform: BGR
+    workspace, per-op uint8 round-trips, separate HSV round trips for
+    saturation and hue, integer hue delta."""
+    import cv2
+
+    from combo_avs_tpu.data.mappers import _apply_ssd_color
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+
+    # saturation only: must equal a manual BGR<->HSV round trip
+    p = {"brightness": None, "contrast": None, "contrast_first": True,
+         "saturation": 1.3, "hue": None}
+    got = _apply_ssd_color(img, p)
+    bgr = img[:, :, ::-1]
+    hsv = cv2.cvtColor(bgr, cv2.COLOR_BGR2HSV)
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1].astype(np.float32) * 1.3, 0, 255).astype(np.uint8)
+    want = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[:, :, ::-1]
+    np.testing.assert_array_equal(got, want)
+
+    # hue shift by a multiple of 180 degrees is the identity
+    p = {"brightness": None, "contrast": None, "contrast_first": True,
+         "saturation": None, "hue": 0}
+    got = _apply_ssd_color(img, p)
+    ident = cv2.cvtColor(cv2.cvtColor(img[:, :, ::-1], cv2.COLOR_BGR2HSV),
+                         cv2.COLOR_HSV2BGR)[:, :, ::-1]
+    np.testing.assert_array_equal(got, ident)
+
+    # brightness + contrast round-trip through uint8 between the ops
+    p = {"brightness": 10.6, "contrast": 1.2, "contrast_first": True,
+         "saturation": None, "hue": None}
+    got = _apply_ssd_color(img, p)
+    step1 = np.clip(img.astype(np.float32) + 10.6, 0, 255).astype(np.uint8)
+    step2 = np.clip(step1.astype(np.float32) * 1.2, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, step2)
+
+    # sampled hue deltas are integers (cv2 uint8 hue space is [0, 180))
+    from combo_avs_tpu.data.mappers import sample_video_transform
+
+    rng = np.random.RandomState(1)
+    for _ in range(32):
+        t = sample_video_transform(rng, (64, 64), [224], 896, (224, 224),
+                                   color_aug=True, flip=True)
+        if t.color_params is not None and t.color_params["hue"] is not None:
+            assert isinstance(t.color_params["hue"], int)
+            assert -18 <= t.color_params["hue"] <= 18
