@@ -72,28 +72,41 @@ def _tent_grad(t):
     return jnp.where((t > -1.0) & (t <= 1.0), jnp.where(t > 0.0, 1.0, -1.0), 0.0)
 
 
-def _rowsel(ys_ref, pblk, H):
-    """wy-weighted row-selection matrix [pblk, H]."""
-    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1).astype(jnp.float32)
-    return _tent(ih - ys_ref[0])
+# Points ride the LANE dimension throughout ([1, pblk] rows): a [pblk, 1]
+# column materializes as full (8, 128) tiles with 1/128 lanes used, so the
+# coord loads / output stores alone would move ~128x the useful bytes — at
+# 240 groups x 74 point blocks that padded traffic (~14 GB) dominated the
+# kernel. The interpolation matrices are built transposed ([H, pblk] /
+# [W, pblk]) and contracted on the MXU along the grid axis instead.
 
 
-def _colw(xs_ref, pblk, W):
-    """wx-weighted column weights [pblk, W]."""
-    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1).astype(jnp.float32)
-    return _tent(iw - xs_ref[0])
+GBLK = 8  # groups per grid cell (TPU sublane tiling wants blocks of 8)
+
+
+def _rowselT(y_row, pblk, H):
+    """wy-weighted row-selection matrix, transposed: [H, pblk]."""
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, pblk), 0).astype(jnp.float32)
+    return _tent(ih - y_row)
+
+
+def _colwT(x_row, pblk, W):
+    """wx-weighted column weights, transposed: [W, pblk]."""
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, pblk), 0).astype(jnp.float32)
+    return _tent(iw - x_row)
 
 
 def _fwd_kernel(xs_ref, ys_ref, img_ref, out_ref, *, H, W, pblk, precision):
-    rowsel = _rowsel(ys_ref, pblk, H)
-    img = img_ref[0].astype(jnp.float32)
-    R = jax.lax.dot(rowsel, img, precision=precision,
-                    preferred_element_type=jnp.float32)  # [pblk, W]
-    colw = _colw(xs_ref, pblk, W)
-    # lane-reduce instead of an @ones matmul: an MXU pass with N=1 costs a
-    # full padded tile; the VPU cross-lane sum is ~free
-    out = jnp.sum(colw * R, axis=1, keepdims=True)  # [pblk, 1]
-    out_ref[0] = out.astype(out_ref.dtype)
+    for i in range(GBLK):
+        rowselT = _rowselT(ys_ref[i : i + 1, :], pblk, H)  # [H, pblk]
+        img = img_ref[i].astype(jnp.float32)  # [H, W]
+        # R_T[w, p] = sum_h img[h, w] * rowselT[h, p]
+        R_T = jax.lax.dot_general(
+            img, rowselT, (((0,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [W, pblk]
+        colwT = _colwT(xs_ref[i : i + 1, :], pblk, W)
+        out = jnp.sum(colwT * R_T, axis=0, keepdims=True)  # [1, pblk]
+        out_ref[i : i + 1, :] = out.astype(out_ref.dtype)
 
 
 def _dimg_kernel(xs_ref, ys_ref, dout_ref, dimg_ref, *, H, W, pblk, precision):
@@ -101,41 +114,47 @@ def _dimg_kernel(xs_ref, ys_ref, dout_ref, dimg_ref, *, H, W, pblk, precision):
 
     @pl.when(q == 0)
     def _():
-        dimg_ref[0] = jnp.zeros((H, W), dimg_ref.dtype)
+        dimg_ref[...] = jnp.zeros((GBLK, H, W), dimg_ref.dtype)
 
-    rowsel = _rowsel(ys_ref, pblk, H)
-    colw = _colw(xs_ref, pblk, W)
-    dR = colw * dout_ref[0].astype(jnp.float32)  # [pblk, W]
-    # dimg += rowsel^T @ dR  (contract the point axis)
-    upd = jax.lax.dot_general(
-        rowsel, dR, (((0,), (0,)), ((), ())), precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    dimg_ref[0] += upd.astype(dimg_ref.dtype)
+    for i in range(GBLK):
+        rowselT = _rowselT(ys_ref[i : i + 1, :], pblk, H)  # [H, pblk]
+        colwT = _colwT(xs_ref[i : i + 1, :], pblk, W)  # [W, pblk]
+        dR_T = colwT * dout_ref[i : i + 1, :].astype(jnp.float32)  # [W, pblk]
+        # dimg += rowselT @ dR_T^T  (contract the point axis)
+        upd = jax.lax.dot_general(
+            rowselT, dR_T, (((1,), (1,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [H, W]
+        dimg_ref[i] += upd.astype(dimg_ref.dtype)
 
 
 def _dxy_kernel(xs_ref, ys_ref, img_ref, dout_ref, dxs_ref, dys_ref, *,
                 H, W, pblk, precision):
-    img = img_ref[0].astype(jnp.float32)
-    dout = dout_ref[0].astype(jnp.float32)  # [pblk, 1]
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, pblk), 0).astype(jnp.float32)
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, pblk), 0).astype(jnp.float32)
+    for i in range(GBLK):
+        img = img_ref[i].astype(jnp.float32)
+        dout = dout_ref[i : i + 1, :].astype(jnp.float32)  # [1, pblk]
 
-    rowsel = _rowsel(ys_ref, pblk, H)
-    R = jax.lax.dot(rowsel, img, precision=precision,
-                    preferred_element_type=jnp.float32)  # [pblk, W]
-    iw = jax.lax.broadcasted_iota(jnp.int32, (pblk, W), 1).astype(jnp.float32)
-    dcol = _tent_grad(iw - xs_ref[0])
-    dxs_ref[0] = (
-        jnp.sum(dcol * R, axis=1, keepdims=True) * dout
-    ).astype(dxs_ref.dtype)
+        rowselT = _rowselT(ys_ref[i : i + 1, :], pblk, H)
+        R_T = jax.lax.dot_general(
+            img, rowselT, (((0,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [W, pblk]
+        dcolT = _tent_grad(iw - xs_ref[i : i + 1, :])
+        dxs_ref[i : i + 1, :] = (
+            jnp.sum(dcolT * R_T, axis=0, keepdims=True) * dout
+        ).astype(dxs_ref.dtype)
 
-    ih = jax.lax.broadcasted_iota(jnp.int32, (pblk, H), 1).astype(jnp.float32)
-    drow = _tent_grad(ih - ys_ref[0])
-    Rdy = jax.lax.dot(drow, img, precision=precision,
-                      preferred_element_type=jnp.float32)  # [pblk, W]
-    colw = _colw(xs_ref, pblk, W)
-    dys_ref[0] = (
-        jnp.sum(colw * Rdy, axis=1, keepdims=True) * dout
-    ).astype(dys_ref.dtype)
+        drowT = _tent_grad(ih - ys_ref[i : i + 1, :])
+        RdyT = jax.lax.dot_general(
+            img, drowT, (((0,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [W, pblk]
+        colwT = _colwT(xs_ref[i : i + 1, :], pblk, W)
+        dys_ref[i : i + 1, :] = (
+            jnp.sum(colwT * RdyT, axis=0, keepdims=True) * dout
+        ).astype(dys_ref.dtype)
 
 
 def _prep(feat, points):
@@ -151,12 +170,36 @@ def _prep(feat, points):
     if Pp != P:
         xs = jnp.pad(xs, ((0, 0), (0, Pp - P)), constant_values=-10.0)
         ys = jnp.pad(ys, ((0, 0), (0, Pp - P)), constant_values=-10.0)
-    xs = jnp.broadcast_to(xs[:, None], (N, C, Pp)).reshape(N * C, Pp, 1)
-    ys = jnp.broadcast_to(ys[:, None], (N, C, Pp)).reshape(N * C, Pp, 1)
+    xs = jnp.broadcast_to(xs[:, None], (N, C, Pp)).reshape(N * C, Pp)
+    ys = jnp.broadcast_to(ys[:, None], (N, C, Pp)).reshape(N * C, Pp)
     return img, xs, ys, P, Pp
 
 
-def _group_chunks(G, bytes_per_g):
+def _pad_groups(G, *arrs):
+    """Pad the group axis to a GBLK multiple (imgs/cotangents with zeros,
+    coords with -10 -> tent weights all zero)."""
+    Gp = _pad_to(G, GBLK)
+    if Gp == G:
+        return (G,) + tuple(a for a, _ in arrs)
+    out = []
+    for a, fill in arrs:
+        pad = [(0, Gp - G)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad, constant_values=fill))
+    return (Gp,) + tuple(out)
+
+
+def _group_chunks(Gp, bytes_per_g):
+    """Largest GBLK-multiple chunk of the (GBLK-padded) group axis under the
+    output-bytes cap."""
+    gc = max(GBLK, min(Gp, (_MAX_OUT_BYTES // max(bytes_per_g, 1)) // GBLK * GBLK))
+    while Gp % gc:
+        gc -= GBLK
+    return gc
+
+
+def _group_chunks_any(G, bytes_per_g):
+    """Largest divisor chunk of an arbitrary group axis under the cap
+    (the shared-points kernel blocks its own group axis by 1)."""
     gc = max(1, min(G, _MAX_OUT_BYTES // max(bytes_per_g, 1)))
     while G % gc:
         gc -= 1
@@ -168,34 +211,35 @@ def _forward(feat, points, precision=_PREC, interpret=False):
     dtype = feat.dtype
     img, xs, ys, P, Pp = _prep(feat, points)
     G = N * C
-    gc = _group_chunks(G, Pp * 4)
+    Gp, xs, ys, img = _pad_groups(G, (xs, -10.0), (ys, -10.0), (img, 0.0))
+    gc = _group_chunks(Gp, Pp * 4)
     kern = functools.partial(_fwd_kernel, H=H, W=W, pblk=PBLK, precision=precision)
 
     def call(args):
         xs_c, ys_c, img_c = args
         return pl.pallas_call(
             kern,
-            grid=(gc, Pp // PBLK),
+            grid=(gc // GBLK, Pp // PBLK),
             in_specs=[
-                pl.BlockSpec((1, PBLK, 1), lambda g, q: (g, q, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g, q: (g, q, 0)),
-                pl.BlockSpec((1, H, W), lambda g, q: (g, 0, 0)),
+                pl.BlockSpec((GBLK, PBLK), lambda g, q: (g, q)),
+                pl.BlockSpec((GBLK, PBLK), lambda g, q: (g, q)),
+                pl.BlockSpec((GBLK, H, W), lambda g, q: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, PBLK, 1), lambda g, q: (g, q, 0)),
-            out_shape=jax.ShapeDtypeStruct((gc, Pp, 1), jnp.float32),
+            out_specs=pl.BlockSpec((GBLK, PBLK), lambda g, q: (g, q)),
+            out_shape=jax.ShapeDtypeStruct((gc, Pp), jnp.float32),
             interpret=interpret,
         )(xs_c, ys_c, img_c)
 
     inputs = (xs, ys, img)
-    if gc == G:
+    if gc == Gp:
         out = call(inputs)
     else:
-        n = G // gc
+        n = Gp // gc
         out = jax.lax.map(
             call, tuple(a.reshape(n, gc, *a.shape[1:]) for a in inputs)
-        ).reshape(G, Pp, 1)
-    # [N*C, Pp, 1] -> [N, P, C]
-    out = out.reshape(N, C, Pp)[:, :, :P].transpose(0, 2, 1)
+        ).reshape(Gp, Pp)
+    # [N*C, Pp] -> [N, P, C]
+    out = out[:G].reshape(N, C, Pp)[:, :, :P].transpose(0, 2, 1)
     return out.astype(dtype)
 
 
@@ -203,79 +247,82 @@ def _backward(feat, points, g, precision=_PREC, interpret=False):
     N, H, W, C = feat.shape
     img, xs, ys, P, Pp = _prep(feat, points)
     G = N * C
-    # cotangent [N, P, C] -> [N*C, Pp, 1]
+    # cotangent [N, P, C] -> [N*C, Pp]
     dout = g.astype(jnp.float32).transpose(0, 2, 1)  # [N, C, P]
     if Pp != P:
         dout = jnp.pad(dout, ((0, 0), (0, 0), (0, Pp - P)))
-    dout = dout.reshape(G, Pp, 1)
+    dout = dout.reshape(G, Pp)
+    Gp, xs, ys, img, dout = _pad_groups(
+        G, (xs, -10.0), (ys, -10.0), (img, 0.0), (dout, 0.0)
+    )
 
     # ---- dimg: accumulate over point blocks ----
-    gci = _group_chunks(G, H * W * 4)
+    gci = _group_chunks(Gp, H * W * 4)
     kern_i = functools.partial(_dimg_kernel, H=H, W=W, pblk=PBLK, precision=precision)
 
     def call_dimg(args):
         xs_c, ys_c, do_c = args
         return pl.pallas_call(
             kern_i,
-            grid=(gci, Pp // PBLK),
+            grid=(gci // GBLK, Pp // PBLK),
             in_specs=[
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
             ],
-            out_specs=pl.BlockSpec((1, H, W), lambda g_, q: (g_, 0, 0)),
+            out_specs=pl.BlockSpec((GBLK, H, W), lambda g_, q: (g_, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((gci, H, W), jnp.float32),
             interpret=interpret,
         )(xs_c, ys_c, do_c)
 
     inputs = (xs, ys, dout)
-    if gci == G:
+    if gci == Gp:
         dimg = call_dimg(inputs)
     else:
-        n = G // gci
+        n = Gp // gci
         dimg = jax.lax.map(
             call_dimg, tuple(a.reshape(n, gci, *a.shape[1:]) for a in inputs)
-        ).reshape(G, H, W)
-    dfeat = dimg.reshape(N, C, H, W).transpose(0, 2, 3, 1).astype(feat.dtype)
+        ).reshape(Gp, H, W)
+    dfeat = dimg[:G].reshape(N, C, H, W).transpose(0, 2, 3, 1).astype(feat.dtype)
 
     # ---- dpoints: per-group dx/dy, then channel-sum + pixel scale ----
-    gcp = _group_chunks(G, 2 * Pp * 4)
+    gcp = _group_chunks(Gp, 2 * Pp * 4)
     kern_p = functools.partial(_dxy_kernel, H=H, W=W, pblk=PBLK, precision=precision)
 
     def call_dxy(args):
         xs_c, ys_c, img_c, do_c = args
         return pl.pallas_call(
             kern_p,
-            grid=(gcp, Pp // PBLK),
+            grid=(gcp // GBLK, Pp // PBLK),
             in_specs=[
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
-                pl.BlockSpec((1, H, W), lambda g_, q: (g_, 0, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
+                pl.BlockSpec((GBLK, H, W), lambda g_, q: (g_, 0, 0)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
             ],
             out_specs=[
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
-                pl.BlockSpec((1, PBLK, 1), lambda g_, q: (g_, q, 0)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
+                pl.BlockSpec((GBLK, PBLK), lambda g_, q: (g_, q)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((gcp, Pp, 1), jnp.float32),
-                jax.ShapeDtypeStruct((gcp, Pp, 1), jnp.float32),
+                jax.ShapeDtypeStruct((gcp, Pp), jnp.float32),
+                jax.ShapeDtypeStruct((gcp, Pp), jnp.float32),
             ],
             interpret=interpret,
         )(xs_c, ys_c, img_c, do_c)
 
     inputs = (xs, ys, img, dout)
-    if gcp == G:
+    if gcp == Gp:
         dxs, dys = call_dxy(inputs)
     else:
-        n = G // gcp
+        n = Gp // gcp
         dxs, dys = jax.lax.map(
             call_dxy, tuple(a.reshape(n, gcp, *a.shape[1:]) for a in inputs)
         )
-        dxs = dxs.reshape(G, Pp, 1)
-        dys = dys.reshape(G, Pp, 1)
-    dxs = dxs.reshape(N, C, Pp)[:, :, :P].sum(axis=1)  # [N, P]
-    dys = dys.reshape(N, C, Pp)[:, :, :P].sum(axis=1)
+        dxs = dxs.reshape(Gp, Pp)
+        dys = dys.reshape(Gp, Pp)
+    dxs = dxs[:G].reshape(N, C, Pp)[:, :, :P].sum(axis=1)  # [N, P]
+    dys = dys[:G].reshape(N, C, Pp)[:, :, :P].sum(axis=1)
     dpoints = jnp.stack([dxs * W, dys * H], axis=-1).astype(points.dtype)
     return dfeat, dpoints
 
@@ -370,7 +417,7 @@ def point_sample_shared(
             n_pc = k
             break
     pc = Pp // n_pc
-    gc = _group_chunks(N, pc * Cp * 4)
+    gc = _group_chunks_any(N, pc * Cp * 4)
 
     kern = functools.partial(_shared_kernel, H=H, W=W, pblk=_SHARED_PBLK,
                              precision=precision)
