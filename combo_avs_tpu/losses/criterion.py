@@ -55,14 +55,22 @@ def uncertainty_sampled_points(
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
     uncertainty = -jnp.abs(logits)
     if jax.devices()[0].platform == "tpu":
-        # TPU-native approximate top-k (PartialReduce): ~3x faster than the
+        # TPU-native approximate top-k (PartialReduce): ~2x faster than the
         # exact sort at 37k points, recall >= 0.95. The "top uncertain" set
         # is a heuristic over RANDOM points — swapping a few near-top points
         # for each other preserves the PointRend semantics.
         _, idx = jax.lax.approx_max_k(uncertainty, n_uncertain, recall_target=0.95)
+        # XLA take_along_axis is serial dynamic slices on TPU (~23 ms per
+        # decoder layer here); the Pallas lane-gather extracts both coord
+        # channels in one one-hot-matmul pass
+        from combo_avs_tpu.ops.gather_pallas import gather_lanes
+
+        flat = jnp.concatenate([coords[..., 0], coords[..., 1]], axis=0)  # [2M, NS]
+        sel = gather_lanes(flat, jnp.concatenate([idx, idx], axis=0))  # [2M, NU]
+        top_coords = jnp.stack([sel[:M], sel[M:]], axis=-1)
     else:
         _, idx = jax.lax.top_k(uncertainty, n_uncertain)
-    top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
+        top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
     rand_coords = jax.random.uniform(k2, (M, n_random, 2))
     return jax.lax.stop_gradient(jnp.concatenate([top_coords, rand_coords], axis=1))
 
