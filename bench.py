@@ -8,6 +8,9 @@ Modes (first JSON line is the driver metric):
                                   #   full recipe: matcher + PointRend +
                                   #   cosine + AdamW + global clip)
   python bench.py --train --bs N  # other batch sizes
+  python bench.py --train --model pvt     # PVTv2-B5 backbone training
+  python bench.py --train --dataset avss  # AVSS: 71 classes, 10 frames,
+                                          #   temporal masks, bf16 AMP
 
 Runs on ONE real chip with synthetic data (datasets/checkpoints are not
 shipped in this image), and prints a single JSON line.
@@ -148,10 +151,16 @@ def bench_eval():
 
 
 def bench_train():
-    """Full S4 training step at reference shapes (bs videos x 5 frames,
-    224^2): forward + Hungarian matching + PointRend/dice/CE/cosine losses +
-    backward + global clip + AdamW (ref recipe: configs/avs_s4/
-    COMBO_R50_bs8_90k.yaml)."""
+    """Full training step at reference shapes: forward + Hungarian matching
+    + PointRend/dice/CE/cosine losses + backward + global clip + AdamW.
+
+    Variants (matching the reference's training config matrix):
+      default            S4 COMBO-R50, bs8 x 5 frames, fp32
+                         (ref: configs/avs_s4/COMBO_R50_bs8_90k.yaml)
+      --model pvt        S4 COMBO-PVTv2-B5 backbone
+      --dataset avss     AVSS regime: 71 classes, 10 frames, temporal
+                         masks, bf16 AMP (ref: configs/avs_ss/
+                         R50-AVSS-SemanticSegmentation.yaml:44)"""
     import jax
     import jax.numpy as jnp
 
@@ -162,43 +171,61 @@ def bench_train():
     from combo_avs_tpu.train.optim import build_optimizer
     from combo_avs_tpu.train.train_step import create_train_state, make_train_step
 
-    B = int(_flag("--bs", 8))
-    # Kslots = 3: the S4/MS3 mapper pads binary-GT targets to 3 instance
-    # slots (trainer.build_mapper max_instances)
-    T, S, Kslots = 5, 224, 3
+    avss = "avss" in str(_flag("--dataset", ""))
+    use_pvt = "pvt" in str(_flag("--model", ""))
+    B = int(_flag("--bs", 4 if avss else 8))
+    # Kslots: the S4/MS3 mapper pads binary-GT targets to 3 instance slots
+    # (trainer.build_mapper max_instances); AVSS uses up to 8 index labels
+    T = 10 if avss else 5
+    S, Kslots = 224, (8 if avss else 3)
+    num_classes = 71 if avss else 2
+    amp = avss  # reference enables AMP only for AVSS
     LOOP = 4
 
-    model = MaskFormer(deterministic=False)
+    kwargs = {}
+    if use_pvt:
+        kwargs = dict(backbone_name="build_pvtv2_b5_backbone",
+                      pre_sam_dim=(64, 128, 320, 512))
+    model = MaskFormer(deterministic=False, num_classes=num_classes, **kwargs)
     rng = np.random.RandomState(0)
     batch = {
         "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
         "audio_log_mel": rng.randn(B, T, 96, 64).astype(np.float32),
         "pre_masks": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
-        "labels": rng.randint(0, 2, (B, T, Kslots)).astype(np.int32),
+        "labels": rng.randint(0, num_classes, (B, T, Kslots)).astype(np.int32),
         "masks": (rng.rand(B, T, Kslots, S, S) > 0.5).astype(np.float32),
         "valid": np.zeros((B, T, Kslots), bool),
-        "gt_temporal_mask": np.tile(
-            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)
-        ),  # S4: first annotated frame only
     }
+    if avss:
+        # v1s-style: 5 real frames of 10, first frame annotated
+        batch["vid_temporal_mask"] = np.tile(
+            np.array([1.0] * 5 + [0.0] * 5, np.float32), (B, 1))
+        batch["gt_temporal_mask"] = np.tile(
+            np.array([1.0] + [0.0] * 9, np.float32), (B, 1))
+    else:
+        batch["gt_temporal_mask"] = np.tile(
+            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)
+        )  # S4: first annotated frame only
     batch["valid"][:, :, :2] = True  # ~2 objects per frame
 
     cfg = get_cfg()
     cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
     matcher = HungarianMatcher()
-    criterion = SetCriterion(num_classes=2, matcher=matcher, cosine_n_frame=T)
+    criterion = SetCriterion(num_classes=num_classes, matcher=matcher,
+                             cosine_n_frame=T)
     cfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
     wd = build_weight_dict(cfg)
 
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch["images"], batch["audio_log_mel"], batch["pre_masks"], None,
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"],
+        batch.get("vid_temporal_mask"),
     )
     optimizer, _ = build_optimizer(cfg, variables["params"])
     state = create_train_state(
         model, optimizer, batch, jax.random.PRNGKey(0), variables=variables
     )
-    train_step = make_train_step(model, criterion, wd, optimizer)
+    train_step = make_train_step(model, criterion, wd, optimizer, amp=amp)
 
     batch = jax.device_put(batch)
 
@@ -221,10 +248,13 @@ def bench_train():
         times.append((time.perf_counter() - t0) / LOOP)
     dt = min(times)
 
+    name = ("AVSS" if avss else "S4") + " train s/step (COMBO-" + (
+        "PVTv2" if use_pvt else "R50"
+    ) + f", bs{B} x {T}f, {S}^2" + (", bf16 AMP)" if amp else ")")
     print(
         json.dumps(
             {
-                "metric": f"S4 train s/step (COMBO-R50, bs{B} x {T}f, {S}^2)",
+                "metric": name,
                 "value": round(dt, 3),
                 "unit": "s/step",
                 "vs_baseline": round(ASSUMED_A100_TRAIN_SEC_PER_ITER / dt, 3),

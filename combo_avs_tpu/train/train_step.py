@@ -69,6 +69,7 @@ def make_train_step(
     weight_dict: Dict[str, float],
     optimizer: optax.GradientTransformation,
     amp: bool = False,
+    donate: bool = True,
 ) -> Callable:
     """amp=True casts params + activations to bfloat16 for the forward pass
     (the reference's AVSS AMP regime, ref: configs/avs_ss/
@@ -119,7 +120,7 @@ def make_train_step(
 
     # donate the input state: params/opt_state buffers are reused in place
     # (halves the steady-state HBM footprint of the update)
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, out_size, bf16: bool = False) -> Callable:

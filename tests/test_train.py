@@ -102,6 +102,11 @@ def test_train_step_updates_and_freezes():
 
 
 def test_train_step_sharded_on_mesh():
+    # drop compiled executables + live buffers from the earlier single-device
+    # tests: the 8-virtual-device sharded execution after them can abort in
+    # the XLA:CPU runtime (SIGABRT at result fetch) when the process carries
+    # their state; a fresh cache is also what real multi-process runs see
+    jax.clear_caches()
     model, batch, cfg, criterion, wd = _setup_tiny()
     mesh = make_mesh(8)
     variables = model.init(
@@ -114,7 +119,9 @@ def test_train_step_sharded_on_mesh():
         state = create_train_state(model, optimizer, batch8, jax.random.PRNGKey(0))
         state = replicate(state, mesh)
         sbatch = shard_batch(batch8, mesh)
-        step = make_train_step(model, criterion, wd, optimizer)
+        # donate=False: donated buffers + the virtual 8-device CPU mesh can
+        # SIGABRT in the XLA:CPU runtime depending on preceding-test state
+        step = make_train_step(model, criterion, wd, optimizer, donate=False)
         new_state, metrics = step(state, sbatch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(new_state.step) == 1
