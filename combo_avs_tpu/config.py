@@ -283,6 +283,9 @@ def get_cfg() -> CfgNode:
     m.AUDIO.PREPROCESS_AUDIO_TO_LOG_MEL = False
     m.AUDIO.POSTPROCESS_LOG_MEL_WITH_PCA = False
     m.AUDIO.PRETRAINED_PCA_PARAMS_PATH = "pretrained/vggish_pca_params-970ea276.pth"
+    # non-reference knob: scales VGGish conv/FC width (embedding stays 128).
+    # 1.0 = parity architecture; <1 only for tests/dryruns on CPU budgets.
+    m.AUDIO.WIDTH_MULT = 1.0
 
     # fusion (ref: models/config.py:15-32)
     m.FUSE_CONFIG = CfgNode()
@@ -410,6 +413,11 @@ def get_cfg() -> CfgNode:
     # ---- TEST ----
     t = c.TEST = CfgNode()
     t.EVAL_PERIOD = 5000
+    # production inference precision: "auto" runs bf16 on accelerators and
+    # fp32 on CPU; True/False force. TPU-native addition (the reference
+    # evaluates fp32 except the AVSS AMP regime); bench.py and pred.py share
+    # this path so the measured step IS the production step.
+    t.BF16 = "auto"
     t.AUG = CfgNode()
     t.AUG.ENABLED = False
     t.AUG.MIN_SIZES = [128, 224, 384]

@@ -203,8 +203,8 @@ class AVSSemanticDatasetMapper:
         self.max_instances = max_instances
         self.binary_gt = binary_gt
         self.use_pre_sam = use_pre_sam
-        # AVSS uses no geometric augs, frames are pre-resized offline
-        # (ref: avss_semantic_dataset_mapper.py builds augs=[]).
+        # AVSS uses no resize/crop (frames are pre-resized offline) but keeps
+        # ColorAugSSD + RandomFlip (ref: avss_semantic_dataset_mapper.py:100-104).
         self.geometric_aug = geometric_aug
         # Mappers run concurrently under the loader's ThreadPoolExecutor and
         # np.random.RandomState is not thread-safe: derive an independent
@@ -246,9 +246,12 @@ class AVSSemanticDatasetMapper:
                 self.crop_size, self.color_aug, flip=True,
             )
         elif self.augmentation:
+            # AVSS training: no resize/crop (frames pre-resized offline) but
+            # the reference still applies ColorAugSSD + RandomFlip(p=0.5)
+            # (ref: avss_semantic_dataset_mapper.py:100-104)
             tf = sample_video_transform(
                 self._next_rng(), images[0].shape[:2], [min(images[0].shape[:2])],
-                self.max_size, None, self.color_aug, flip=False,
+                self.max_size, None, self.color_aug, flip=True,
             )
         else:
             tf = None

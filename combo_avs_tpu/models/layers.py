@@ -43,7 +43,9 @@ class SqueezeExcite(nn.Module):
 
     dim: int
     reduction: int = 16
-    dtype: jnp.dtype = jnp.float32
+    # None follows the input dtype (bf16 under the production bf16 path);
+    # a forced fp32 here used to silently upcast every SEM-injected feature
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +65,7 @@ class MLP(nn.Module):
     hidden_dim: int
     output_dim: int
     num_layers: int
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None  # None = follow input dtype
 
     @nn.compact
     def __call__(self, x):

@@ -68,10 +68,15 @@ class MaskFormer(nn.Module):
     # SEM / pre-SAM
     use_pre_sam: bool = True
     pre_sam_dim: Sequence[int] = (256, 512, 1024, 2048)
+    # reduced-depth PVT for tests/dryruns; (3, 6, 40, 3) is the B5 parity arch
+    pvt_depths: Sequence[int] = (3, 6, 40, 3)
     # misc
     pixel_mean: Tuple[float, ...] = PIXEL_MEAN
     pixel_std: Tuple[float, ...] = PIXEL_STD
     deterministic: bool = True
+    # MODEL.AUDIO.FREEZE_AUDIO_EXTRACTOR (ref: maskformer_model.py:157-162 —
+    # the reference freezes conditionally; all shipped configs freeze)
+    freeze_audio: bool = True
     # dryrun/test-only knob: scales the (frozen) VGGish tower width
     vggish_width: float = 1.0
 
@@ -79,7 +84,8 @@ class MaskFormer(nn.Module):
         if self.backbone_name == "build_resnet_backbone":
             return ResNet(depth=50, name=name)
         if self.backbone_name == "build_pvtv2_b5_backbone":
-            return PVTv2(deterministic=self.deterministic, name=name)
+            return PVTv2(depths=tuple(self.pvt_depths),
+                         deterministic=self.deterministic, name=name)
         if self.backbone_name == "tiny_resnet":
             # one bottleneck per stage, 8x narrower: NOT a reference config —
             # exists so the multichip dryrun compiles the full SEM/fusion/
@@ -104,10 +110,13 @@ class MaskFormer(nn.Module):
         B, T, H, W, _ = images.shape
         frames = self._normalize(images.reshape(B * T, H, W, 3))
 
-        # frozen audio tower (ref :327-329): no gradients flow to VGGish
+        # audio tower; frozen by default (ref :327-329 runs VGGish under
+        # no_grad when MODEL.AUDIO.FREEZE_AUDIO_EXTRACTOR)
         mel = audio_log_mel.reshape(B * T, 96, 64, 1)
         audio_feature = VGGish(width_mult=self.vggish_width, name="audio_backbone")(mel)
-        audio_feature = jax.lax.stop_gradient(audio_feature)[:, None, :]  # [B*T, 1, 128]
+        if self.freeze_audio:
+            audio_feature = jax.lax.stop_gradient(audio_feature)
+        audio_feature = audio_feature[:, None, :]  # [B*T, 1, 128]
         if vid_temporal_mask is not None:
             audio_feature = audio_feature * vid_temporal_mask.reshape(B * T, 1, 1)
 
@@ -190,7 +199,12 @@ def build_model(cfg, deterministic: bool = True) -> MaskFormer:
     """Construct the meta-architecture from a config tree
     (same key surface as ref: maskformer_model.py:101-272 from_config)."""
     m = cfg.MODEL
-    audio_out_dim = 128 if m.FUSE_CONFIG.QUERIES_FUSE_TYPE == "dim" else 256
+    # ref: maskformer_model.py:168-171 hardcodes 256 (== HIDDEN_DIM in every
+    # shipped config) for add-fusion and 128 for dim-concat; using HIDDEN_DIM
+    # keeps the add path consistent for reduced-size test configs
+    audio_out_dim = (
+        128 if m.FUSE_CONFIG.QUERIES_FUSE_TYPE == "dim" else m.MASK_FORMER.HIDDEN_DIM
+    )
     return MaskFormer(
         backbone_name=m.BACKBONE.NAME,
         num_classes=m.SEM_SEG_HEAD.NUM_CLASSES,
@@ -218,4 +232,6 @@ def build_model(cfg, deterministic: bool = True) -> MaskFormer:
         pixel_mean=tuple(m.PIXEL_MEAN),
         pixel_std=tuple(m.PIXEL_STD),
         deterministic=deterministic,
+        freeze_audio=m.AUDIO.FREEZE_AUDIO_EXTRACTOR,
+        vggish_width=m.AUDIO.get("WIDTH_MULT", 1.0),
     )

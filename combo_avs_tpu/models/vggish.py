@@ -34,7 +34,7 @@ class VGGish(nn.Module):
     1.0 is the parity architecture; smaller values exist only for the
     multichip dryrun / tests where compile budget matters."""
 
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None  # None = follow input dtype (bf16-able)
     width_mult: float = 1.0
 
     @nn.compact

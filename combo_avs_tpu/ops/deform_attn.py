@@ -91,7 +91,9 @@ def ms_deform_attn(
         w_l = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # [B, M, Lq, P]
         out = out + jnp.einsum("bmqpd,bmqp->bqmd", sampled, w_l)
 
-    return out.reshape(B, Lq, M * D)
+    # fp32 sampling locations promote the accumulator; the contract (shared
+    # with the Pallas kernel) is output dtype == value dtype
+    return out.reshape(B, Lq, M * D).astype(value.dtype)
 
 
 def level_start_index(spatial_shapes: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:

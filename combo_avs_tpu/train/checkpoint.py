@@ -178,9 +178,21 @@ def convert_resnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[dict, d
 
 
 def convert_pvt(
-    sd: Dict[str, np.ndarray], depths=(3, 6, 40, 3), prefix: str = ""
+    sd: Dict[str, np.ndarray], depths=None, prefix: str = ""
 ) -> dict:
-    """timm PVTv2 keys -> scan-stacked flax params for models.pvtv2.PVTv2."""
+    """timm PVTv2 keys -> scan-stacked flax params for models.pvtv2.PVTv2.
+
+    depths=None infers the per-stage depth from the block{i}.{j}.* keys
+    (B5 checkpoints yield (3, 6, 40, 3); reduced-depth test models work too).
+    """
+    if depths is None:
+        depths = []
+        for i in range(1, 5):
+            j = 0
+            while f"{prefix}block{i}.{j}.norm1.weight" in sd:
+                j += 1
+            depths.append(j)
+        assert all(depths), f"no PVT block keys under prefix {prefix!r}"
     p: dict = {}
     for i in range(1, len(depths) + 1):
         _set(p, f"patch_embed{i}/kernel", _conv(sd[f"{prefix}patch_embed{i}.proj.weight"]))
@@ -357,6 +369,8 @@ def convert_combo_checkpoint(sd: Dict[str, np.ndarray], backbone: str = "resnet"
     head["predictor"] = convert_predictor(sd, dec_layers=dec_layers)
     params["sem_seg_head"] = head
 
+    if not frozen:  # PVT models have no frozen-BN collection at all
+        return {"params": params}
     return {"params": params, "frozen": frozen}
 
 

@@ -5,8 +5,9 @@ Replicates the reference's custom optimizer build (ref: train_net.py:147-226):
 * AdamW (or SGD) with base LR / weight decay,
 * backbone parameters (any path containing "backbone") at
   BACKBONE_MULTIPLIER x LR (ref :183),
-* weight decay 0 on norm-layer parameters (ref :156-191) and embedding-like
-  parameters (ref :192-193),
+* SOLVER.WEIGHT_DECAY_NORM on norm-layer parameters (ref :156-191),
+  SOLVER.WEIGHT_DECAY_EMBED on embedding parameters (ref :192-193), exact 0
+  on relative_position_bias_table / absolute_pos_embed (ref :184-189),
 * FULL-MODEL gradient clipping: global L2 norm clipped BEFORE the optimizer
   step (ref :196-211) -> `optax.clip_by_global_norm` first in the chain,
 * WarmupPolyLR schedule: base * warmup(t) * (1 - t/max_iter)^0.9
@@ -27,14 +28,12 @@ import jax.numpy as jnp
 import optax
 
 NORM_KEYS = ("norm", "layernorm", "groupnorm", "ln", "gn")
-EMBED_KEYS = (
-    "query_feat",
-    "query_embed",
-    "level_embed",
-    "audio_pos",
-    "relative_position_bias_table",
-    "absolute_pos_embed",
-)
+# flax param names of the modules that are torch nn.Embedding in the
+# reference (query/level/audio-pos tables) -> SOLVER.WEIGHT_DECAY_EMBED
+# (ref: train_net.py:192-193)
+EMBED_KEYS = ("query_feat", "query_embed", "level_embed", "audio_pos")
+# always-zero weight decay regardless of cfg (ref: train_net.py:184-189)
+ZERO_WD_KEYS = ("relative_position_bias_table", "absolute_pos_embed")
 FROZEN_MODULES = ("audio_backbone",)
 
 
@@ -44,22 +43,46 @@ def _path_str(path) -> str:
     ).lower()
 
 
-def classify_param(path) -> dict:
-    """Returns {multiplier, use_wd, frozen} for a param path."""
+def classify_param(path, freeze_audio: bool = True) -> dict:
+    """Returns {frozen, backbone, wd_kind} for a param path; wd_kind is one
+    of "default"/"norm"/"embed"/"zero", matching the reference's per-module
+    weight-decay override order (ref: train_net.py:156-193: the zero-wd name
+    check fires first, then norm-module type, then nn.Embedding)."""
     s = _path_str(path)
     parts = s.split("/")
-    frozen = any(m in s for m in FROZEN_MODULES)
+    frozen = freeze_audio and any(m in s for m in FROZEN_MODULES)
     is_backbone = "backbone" in s
     # norm params: scale/bias leaves under a *norm* module name
     leaf = parts[-1]
     parent = parts[-2] if len(parts) > 1 else ""
-    is_norm = leaf in ("scale", "bias") and any(k in parent for k in NORM_KEYS)
-    is_embed = any(k in leaf or k in parent for k in EMBED_KEYS)
+    wd_kind = "default"
+    if any(k in leaf or k in parent for k in ZERO_WD_KEYS):
+        wd_kind = "zero"
+    elif leaf in ("scale", "bias") and any(k in parent for k in NORM_KEYS):
+        wd_kind = "norm"
+    elif any(k in leaf or k in parent for k in EMBED_KEYS):
+        wd_kind = "embed"
     return {
         "frozen": frozen,
         "backbone": is_backbone,
-        "no_wd": is_norm or is_embed,
+        "wd_kind": wd_kind,
     }
+
+
+def add_decayed_weights_per_leaf(wd_tree) -> optax.GradientTransformation:
+    """optax.add_decayed_weights with a per-leaf decay value (the reference
+    sets weight_decay per param group, ref: train_net.py:181-194)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        return (
+            jax.tree.map(lambda u, wd, p: u + wd * p, updates, wd_tree, params),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def scale_by_param_multiplier(multiplier_tree) -> optax.GradientTransformation:
@@ -101,17 +124,25 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
     """Returns (optimizer, lr_schedule). `params` is the model param tree
     (used to build per-leaf masks)."""
     s = cfg.SOLVER
+    freeze_audio = cfg.MODEL.AUDIO.FREEZE_AUDIO_EXTRACTOR
 
-    info = jax.tree_util.tree_map_with_path(lambda p, _: classify_param(p), params)
+    info = jax.tree_util.tree_map_with_path(
+        lambda p, _: classify_param(p, freeze_audio=freeze_audio), params
+    )
+    _is_info = lambda x: isinstance(x, dict) and "frozen" in x
     mult = jax.tree.map(
         lambda i: 0.0 if i["frozen"] else (s.BACKBONE_MULTIPLIER if i["backbone"] else 1.0),
-        info,
-        is_leaf=lambda x: isinstance(x, dict) and "frozen" in x,
+        info, is_leaf=_is_info,
     )
-    wd_mask = jax.tree.map(
-        lambda i: (not i["no_wd"]) and (not i["frozen"]),
-        info,
-        is_leaf=lambda x: isinstance(x, dict) and "frozen" in x,
+    wd_values = {
+        "default": s.WEIGHT_DECAY,
+        "norm": s.WEIGHT_DECAY_NORM,
+        "embed": s.WEIGHT_DECAY_EMBED,
+        "zero": 0.0,
+    }
+    wd_tree = jax.tree.map(
+        lambda i: 0.0 if i["frozen"] else wd_values[i["wd_kind"]],
+        info, is_leaf=_is_info,
     )
 
     schedule = warmup_poly_schedule(
@@ -131,12 +162,12 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
     if s.OPTIMIZER.upper() == "ADAMW":
         chain += [
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=wd_mask),
+            add_decayed_weights_per_leaf(wd_tree),
         ]
     elif s.OPTIMIZER.upper() == "SGD":
         chain += [
             optax.trace(decay=s.MOMENTUM),
-            optax.add_decayed_weights(s.WEIGHT_DECAY, mask=wd_mask),
+            add_decayed_weights_per_leaf(wd_tree),
         ]
     else:
         raise NotImplementedError(f"no optimizer type {s.OPTIMIZER}")

@@ -120,7 +120,10 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     mapper = build_mapper(cfg, is_train=False)
     evaluator = build_evaluator(cfg, dataset_name)
     size = cfg.INPUT.SIZE_DIVISIBILITY if cfg.INPUT.SIZE_DIVISIBILITY > 0 else 224
-    eval_step = make_eval_step(model, out_size=(size, size))
+    bf16 = cfg.TEST.get("BF16", "auto")
+    if bf16 == "auto":  # bf16 on accelerators, fp32 on CPU
+        bf16 = jax.default_backend() != "cpu"
+    eval_step = make_eval_step(model, out_size=(size, size), bf16=bool(bf16))
 
     n_frames_total, t_compute, t_data, t0 = 0, 0.0, 0.0, time.perf_counter()
     t_mark = time.perf_counter()
@@ -202,9 +205,14 @@ class Trainer:
 
     def _abstract_state(self):
         batch = self._sample_batch()
-        optimizer, _ = self._optimizer_for(batch)
+        key = jax.random.PRNGKey(0)
+        # everything abstract: init is traced, never executed
+        abstract_vars = jax.eval_shape(
+            lambda: self._init_variables(batch, key, jit=False)
+        )
+        optimizer, _ = build_optimizer(self.cfg, abstract_vars["params"])
         return jax.eval_shape(
-            lambda: create_train_state(self.model, optimizer, batch, jax.random.PRNGKey(0))
+            lambda: create_train_state(self.model, optimizer, batch, key)
         )
 
     def _sample_batch(self):
@@ -213,13 +221,13 @@ class Trainer:
         loader.close()
         return batch
 
-    def _optimizer_for(self, batch):
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+    def _init_variables(self, batch, key, jit: bool = True):
+        init = jax.jit(self.model.init) if jit else self.model.init
+        return init(
+            {"params": key, "dropout": jax.random.fold_in(key, 1)},
             batch["images"], batch["audio_log_mel"], batch.get("pre_masks"),
             batch.get("vid_temporal_mask"),
         )
-        return build_optimizer(self.cfg, variables["params"])
 
     def train(self, max_iter: Optional[int] = None, log_every: int = 20):
         cfg = self.cfg
@@ -227,12 +235,16 @@ class Trainer:
         loader = self._train_loader()
         batch0 = next(loader)
 
-        optimizer, schedule = self._optimizer_for(batch0)
+        key0 = jax.random.PRNGKey(cfg.get("SEED", 0) or 0)
         with self.mesh:
             if self.state is None:
+                variables = self._init_variables(batch0, key0)
+                optimizer, schedule = build_optimizer(cfg, variables["params"])
                 self.state = create_train_state(
-                    self.model, optimizer, batch0, jax.random.PRNGKey(cfg.get("SEED", 0) or 0)
+                    self.model, optimizer, batch0, key0, variables=variables
                 )
+            else:  # resumed: derive the optimizer masks from the loaded params
+                optimizer, schedule = build_optimizer(cfg, self.state.params)
             self.state = replicate(self.state, self.mesh)
             train_step = make_train_step(self.model, self.criterion, self.weight_dict, optimizer, amp=cfg.SOLVER.AMP.ENABLED)
             key = jax.random.PRNGKey(1234)

@@ -148,6 +148,37 @@ def test_avss_catalog_and_buckets(avss_root):
     loader.close()
 
 
+def test_avss_mapper_random_flip(avss_root):
+    """AVSS training keeps RandomFlip(p=0.5) even though it has no
+    resize/crop (ref: avss_semantic_dataset_mapper.py:100-104 builds
+    [ColorAugSSD, RandomFlip] when INPUT.AUGMENTATION). Every output frame
+    must be either the original or its mirror, labels flipped in sync, and
+    both cases must occur."""
+    from combo_avs_tpu.data.mappers import read_image
+
+    recs = load_avss_records(avss_root, "train")
+    rec = next(r for r in recs if r["subset"] == "v1s")
+    raw = read_image(rec["file_names"][0]).astype(np.float32)
+    raw_lbl = read_image(rec["sem_seg_file_names"][0], gray=True).astype(np.int32)
+    mapper = AVSSemanticDatasetMapper(
+        is_train=True, binary_gt=False, geometric_aug=False, use_pre_sam=False,
+        color_aug=False, max_instances=8, seed=11,
+    )
+    flipped, unflipped = 0, 0
+    for _ in range(16):
+        out = mapper(rec)
+        img = out["images"][0]
+        if np.array_equal(img, raw):
+            unflipped += 1
+            np.testing.assert_array_equal(out["sem_segs"][0], raw_lbl)
+        elif np.array_equal(img, raw[:, ::-1]):
+            flipped += 1
+            np.testing.assert_array_equal(out["sem_segs"][0], raw_lbl[:, ::-1])
+        else:
+            raise AssertionError("frame is neither original nor mirrored")
+    assert flipped > 0 and unflipped > 0
+
+
 def test_ssd_color_aug_d2_semantics():
     """_apply_ssd_color is byte-faithful to d2 ColorAugSSDTransform: BGR
     workspace, per-op uint8 round-trips, separate HSV round trips for

@@ -71,3 +71,51 @@ def test_full_model_parity_via_converter():
         )
     # middles (cosine-loss inputs): 1 (queries) + DEC-1
     assert len(out["middles_attn_mask"]) == len(tout["middles_attn_mask"]) == DEC
+
+
+def test_full_model_parity_via_converter_pvt():
+    """Same e2e converter check through the PVTv2 path: true B5 channel
+    widths (64/128/320/512, heads 1/2/5/8, sr 8/4/2/1), reduced depths
+    (1,2,1,1) so the scan-stacking order of convert_pvt is exercised
+    (ref: avs_tools/convert_pvt_model_to_d2.py:28-36 +
+    models/modeling/backbone/pvtv2.py:391-409)."""
+    DEPTHS = (1, 2, 1, 1)
+    tm = randomize(ComboTorch(num_queries=Q, enc_layers=ENC, dec_layers=DEC,
+                              backbone="pvt", pvt_depths=DEPTHS))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    rng = np.random.RandomState(1)
+    B, T, S = 1, 1, 64
+    images = (rng.rand(B, T, S, S, 3) * 255).astype(np.float32)
+    mel = rng.randn(B, T, 96, 64).astype(np.float32)
+    pre = (rng.rand(B, T, S, S, 3) * 255).astype(np.float32)
+
+    model = MaskFormer(
+        backbone_name="build_pvtv2_b5_backbone", pvt_depths=DEPTHS,
+        pre_sam_dim=(64, 128, 320, 512),
+        dec_layers=DEC, enc_layers=ENC, num_queries=Q,
+    )
+    init_vars = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), images, mel, pre)
+    )
+    variables = convert_combo_checkpoint(sd, backbone="pvt",
+                                         dec_layers=DEC, enc_layers=ENC)
+    want = jax.tree.structure(init_vars)
+    got = jax.tree.structure(variables)
+    assert want == got, f"structure mismatch:\n{want}\nvs\n{got}"
+
+    out = jax.jit(model.apply)(variables, images, mel, pre)
+    with torch.no_grad():
+        tout = tm(
+            torch.from_numpy(images[0].transpose(0, 3, 1, 2)),
+            torch.from_numpy(mel.reshape(B * T, 1, 96, 64)),
+            torch.from_numpy(pre[0].transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), tout["pred_logits"].numpy(),
+        atol=5e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_masks"]), tout["pred_masks"].numpy(),
+        atol=5e-3, rtol=1e-3,
+    )

@@ -42,11 +42,52 @@ def test_classify_param_rules():
     assert info["backbone/res2_block0/conv1/kernel"]["backbone"]
     assert info["pre_sam_backbone/stem_conv1/kernel"]["backbone"]
     assert info["audio_backbone/fc0/kernel"]["frozen"]
-    assert info["sem_seg_head/predictor/query_feat"]["no_wd"]
-    assert info["sem_seg_head/predictor/cross_norm0/scale"]["no_wd"]
-    assert not info["sem_seg_head/predictor/ffn_linear1_0/kernel"]["no_wd"]
-    # plain linear bias keeps weight decay (d2 behavior)
-    assert not info["sem_seg_head/predictor/ffn_linear1_0/bias"]["no_wd"]
+    assert info["sem_seg_head/predictor/query_feat"]["wd_kind"] == "embed"
+    assert info["sem_seg_head/predictor/cross_norm0/scale"]["wd_kind"] == "norm"
+    assert info["sem_seg_head/predictor/cross_norm0/bias"]["wd_kind"] == "norm"
+    # plain linear kernel/bias keep the default weight decay (d2 behavior)
+    assert info["sem_seg_head/predictor/ffn_linear1_0/kernel"]["wd_kind"] == "default"
+    assert info["sem_seg_head/predictor/ffn_linear1_0/bias"]["wd_kind"] == "default"
+    # FREEZE_AUDIO_EXTRACTOR=False unfreezes the audio tower; it still counts
+    # as a backbone for the LR multiplier (the reference's "backbone" name
+    # check matches the `audio_backbone` attribute, ref: train_net.py:183)
+    info2 = {"/".join(str(getattr(p, "key", p)) for p in path):
+             classify_param(path, freeze_audio=False) for path, _ in flat}
+    assert not info2["audio_backbone/fc0/kernel"]["frozen"]
+    assert info2["audio_backbone/fc0/kernel"]["backbone"]
+
+
+def test_weight_decay_knobs_live():
+    """Nonzero SOLVER.WEIGHT_DECAY_NORM / WEIGHT_DECAY_EMBED must decay
+    norm/embedding params at their own rates (ref: train_net.py:156-194)."""
+    import optax
+
+    cfg = get_cfg()
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.WEIGHT_DECAY_NORM = 0.1
+    cfg.SOLVER.WEIGHT_DECAY_EMBED = 0.2
+    cfg.SOLVER.WARMUP_ITERS = 0
+    params = {
+        "sem_seg_head": {
+            "predictor": {
+                "query_feat": jnp.ones((4, 8)),
+                "cross_norm0": {"scale": jnp.ones((8,))},
+                "ffn_linear1_0": {"kernel": jnp.ones((8, 8))},
+            }
+        }
+    }
+    opt, sched = build_optimizer(cfg, params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero_grads, opt.init(params), params)
+    new = optax.apply_updates(params, updates)
+    lr = float(sched(0))
+    pred = new["sem_seg_head"]["predictor"]
+    np.testing.assert_allclose(np.asarray(pred["cross_norm0"]["scale"]),
+                               1.0 - lr * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred["query_feat"]),
+                               1.0 - lr * 0.2, rtol=1e-6)
+    # default wd is 0 here: plain kernels untouched
+    np.testing.assert_array_equal(np.asarray(pred["ffn_linear1_0"]["kernel"]), 1.0)
 
 
 def _setup_tiny():
@@ -99,6 +140,33 @@ def test_train_step_updates_and_freezes():
     # frozen BN untouched
     f1 = jax.tree.leaves(new_state.frozen)[0]
     np.testing.assert_array_equal(f0, np.asarray(f1))
+
+
+def test_freeze_audio_extractor_knob():
+    """MODEL.AUDIO.FREEZE_AUDIO_EXTRACTOR=False lets gradients reach the
+    VGGish tower (ref: maskformer_model.py:157-162 freezes conditionally)."""
+    model, batch, _, _, _ = _setup_tiny()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"], None)
+    unfrozen = MaskFormer(dec_layers=1, enc_layers=1, num_queries=4,
+                          deterministic=False, freeze_audio=False)
+
+    def loss(m, params):
+        out = m.apply(
+            {"params": params, "frozen": variables.get("frozen", {})},
+            batch["images"], batch["audio_log_mel"], batch["pre_masks"], None,
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2)
+
+    g_frozen = jax.grad(lambda p: loss(model, p))(variables["params"])
+    g_live = jax.grad(lambda p: loss(unfrozen, p))(variables["params"])
+    gf = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g_frozen["audio_backbone"])])
+    gl = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(g_live["audio_backbone"])])
+    assert np.all(gf == 0.0)
+    assert np.abs(gl).max() > 0
 
 
 def test_train_step_sharded_on_mesh():

@@ -1,0 +1,144 @@
+"""End-to-end Trainer tests: the engine layer (trainer.py train loop with
+periodic eval, best-checkpointing, resume) run for real on a tiny synthetic
+S4-style dataset with a reduced-size model.
+
+Covers the reference's DefaultTrainer choreography (ref: train_net.py:65-226 +
+models/engine/hooks.py:62-96): iterate -> periodic eval -> model_best on
+improvement -> periodic checkpoints -> resume continues from the saved step.
+Also asserts a convergence smoke (total_loss decreases on a learnable toy
+dataset) and bounds the TEST.BF16 production-eval drift vs fp32.
+"""
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+from combo_avs_tpu.config import get_cfg
+from combo_avs_tpu.data.catalogs import load_avss4_records, register
+
+S = 64  # frame size
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    """Synthetic learnable S4 dataset (sounding object = bright left half)
+    plus a reduced-size model config; registers tiny_s4_{train,val}."""
+    root = tmp_path_factory.mktemp("tiny_s4")
+    out_dir = str(tmp_path_factory.mktemp("out"))
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        for vid in ("v1", "v2", "v3"):
+            fdir = root / "visual_frames" / split / "cat" / vid
+            mdir = root / "gt_masks" / split / "cat" / vid
+            fdir.mkdir(parents=True)
+            mdir.mkdir(parents=True)
+            n_masks = 1 if split == "train" else 5
+            for i in range(5):
+                img = rng.randint(0, 40, (S, S, 3), np.uint8)
+                img[:, : S // 2] += 180  # the "object"
+                cv2.imwrite(str(fdir / f"{vid}_{i + 1}.png"), img)
+                if i < n_masks:
+                    m = np.zeros((S, S), np.uint8)
+                    m[:, : S // 2] = 255
+                    cv2.imwrite(str(mdir / f"{vid}_{i + 1}.png"), m)
+            adir = root / "audio_log_mel" / split / "cat"
+            adir.mkdir(parents=True, exist_ok=True)
+            with open(adir / f"{vid}.pkl", "wb") as f:
+                pickle.dump(torch.randn(5, 1, 96, 64), f)
+
+    for split in ("train", "val"):
+        register(
+            f"tiny_s4_{split}",
+            lambda s=split: load_avss4_records(str(root), s, None),
+            {"stuff_classes": ["background", "object"], "ignore_label": 255,
+             "evaluator_type": "sem_seg", "num_frames": 5},
+        )
+
+    cfg = get_cfg()
+    m = cfg.MODEL
+    m.BACKBONE.NAME = "tiny_resnet"
+    m.PRE_SAM.USE_PRE_SAM = False
+    m.AUDIO.WIDTH_MULT = 0.125
+    # COMBO late-fusion surface (the yamls set these; raw defaults are empty)
+    m.FUSE_CONFIG.FUSION_STEP = "late"
+    m.FUSE_CONFIG.TYPE = "MHA-B"
+    m.FUSE_CONFIG.AUDIO_DIM = 128
+    m.FUSE_CONFIG.FUSED_BACKBONE = ["res2"]
+    m.FUSE_CONFIG.FUSED_BACKBONE_DIM = [32]
+    m.MASK_FORMER.HIDDEN_DIM = 32
+    m.MASK_FORMER.NHEADS = 2
+    m.MASK_FORMER.DIM_FEEDFORWARD = 64
+    m.MASK_FORMER.DEC_LAYERS = 3
+    m.MASK_FORMER.NUM_OBJECT_QUERIES = 8
+    m.MASK_FORMER.TRAIN_NUM_POINTS = 64
+    m.SEM_SEG_HEAD.MASK_DIM = 32
+    m.SEM_SEG_HEAD.CONVS_DIM = 32
+    m.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 1
+    cfg.INPUT.MIN_SIZE_TRAIN = [S]
+    cfg.INPUT.MAX_SIZE_TRAIN = S
+    cfg.INPUT.CROP.ENABLED = False
+    cfg.INPUT.COLOR_AUG_SSD = False
+    cfg.INPUT.SIZE_DIVISIBILITY = S
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.BASE_LR = 5e-4
+    cfg.SOLVER.MAX_ITER = 8
+    cfg.SOLVER.CHECKPOINT_PERIOD = 6
+    cfg.TEST.EVAL_PERIOD = 4
+    cfg.DATASETS.TRAIN = ("tiny_s4_train",)
+    cfg.DATASETS.TEST = ("tiny_s4_val",)
+    cfg.DATALOADER.NUM_WORKERS = 1
+    cfg.OUTPUT_DIR = out_dir
+    return cfg
+
+
+def test_trainer_train_eval_best_resume(tiny_cfg):
+    import jax
+
+    jax.clear_caches()
+    from combo_avs_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg
+    trainer = Trainer(cfg, n_devices=1)
+    trainer.resume_or_load(resume=False)
+    state = trainer.train(log_every=1)
+    assert int(np.asarray(state.step)) == cfg.SOLVER.MAX_ITER
+
+    # convergence smoke: losses logged every iter; later iters must improve
+    with open(trainer.metrics_file) as f:
+        rows = [json.loads(line) for line in f]
+    losses = [r["total_loss"] for r in rows if "total_loss" in r]
+    assert len(losses) == cfg.SOLVER.MAX_ITER
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    # periodic checkpoints (pruned to keep) + best checkpoint from the evals
+    dirs = sorted(os.listdir(cfg.OUTPUT_DIR))
+    assert "step_6" in dirs and "step_8" in dirs
+    assert "model_best" in dirs
+    evals = [r for r in rows if "mIoU" in r]
+    assert len(evals) == 2  # EVAL_PERIOD=4 over 8 iters
+    assert trainer.best_ckpt.best == max(e["mIoU"] for e in evals)
+
+    # resume: a fresh Trainer picks up from the newest step checkpoint
+    resumed = Trainer(cfg, n_devices=1)
+    resumed.resume_or_load(resume=True)
+    assert resumed.start_iter == cfg.SOLVER.MAX_ITER
+    state2 = resumed.train(max_iter=cfg.SOLVER.MAX_ITER + 1, log_every=1)
+    assert int(np.asarray(state2.step)) == cfg.SOLVER.MAX_ITER + 1
+
+    # TEST.BF16 production eval path: metric drift vs fp32 bounded
+    from combo_avs_tpu.train.trainer import evaluate
+
+    params, frozen = trainer.state.params, trainer.state.frozen
+    cfg.TEST.BF16 = False
+    r32 = evaluate(cfg, trainer.eval_model, params, frozen, "tiny_s4_val")
+    cfg.TEST.BF16 = True
+    r16 = evaluate(cfg, trainer.eval_model, params, frozen, "tiny_s4_val")
+    cfg.TEST.BF16 = "auto"
+    assert abs(r32["sem_seg"]["mIoU"] - r16["sem_seg"]["mIoU"]) < 0.03
+    assert abs(r32["sem_seg"]["f_score"] - r16["sem_seg"]["f_score"]) < 0.03

@@ -120,6 +120,106 @@ class VGGishTorch(nn.Module):
         return self.embeddings(x.flatten(1))
 
 
+class PVTDWConv(nn.Module):
+    """Key shape `mlp.dwconv.dwconv.*` (ref: pvtv2.py:377-388)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x, H, W):  # [B, N, C]
+        B, N, C = x.shape
+        x = self.dwconv(x.transpose(1, 2).reshape(B, C, H, W))
+        return x.flatten(2).transpose(1, 2)
+
+
+class PVTBlockTorch(nn.Module):
+    """ref: pvtv2.py:60-190 (pre-norm SRA block, exact-GELU conv MLP)."""
+
+    def __init__(self, dim, heads, sr, mlp_ratio=4):
+        super().__init__()
+        self.heads, self.sr_ratio = heads, sr
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        attn = nn.Module()
+        attn.q = nn.Linear(dim, dim, bias=True)
+        attn.kv = nn.Linear(dim, dim * 2, bias=True)
+        attn.proj = nn.Linear(dim, dim)
+        if sr > 1:
+            attn.sr = nn.Conv2d(dim, dim, sr, sr)
+            attn.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = attn
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, dim * mlp_ratio)
+        mlp.dwconv = PVTDWConv(dim * mlp_ratio)
+        mlp.fc2 = nn.Linear(dim * mlp_ratio, dim)
+        self.mlp = mlp
+
+    def _attention(self, x, H, W):
+        B, N, C = x.shape
+        hd = C // self.heads
+        a = self.attn
+        q = a.q(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+        kvin = x
+        if self.sr_ratio > 1:
+            xm = x.transpose(1, 2).reshape(B, C, H, W)
+            xm = a.sr(xm).reshape(B, C, -1).transpose(1, 2)
+            kvin = a.norm(xm)
+        kv = a.kv(kvin).reshape(B, -1, 2, self.heads, hd).permute(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn = (q @ k.transpose(-2, -1)) * hd**-0.5
+        out = (attn.softmax(-1) @ v).transpose(1, 2).reshape(B, N, C)
+        return a.proj(out)
+
+    def forward(self, x, H, W):
+        x = x + self._attention(self.norm1(x), H, W)
+        h = self.mlp.fc1(self.norm2(x))
+        h = F.gelu(self.mlp.dwconv(h, H, W))
+        return x + self.mlp.fc2(h)
+
+
+class PVTv2Torch(nn.Module):
+    """Reduced-depth PVTv2 with the TRUE B5 channel widths and the timm/d2
+    key names the converter consumes (ref: models/modeling/backbone/
+    pvtv2.py:243-374 + avs_tools/convert_pvt_model_to_d2.py:28-36):
+    patch_embed{i}.proj/.norm, block{i}.{j}.*, norm{i}."""
+
+    dims = (64, 128, 320, 512)
+    heads = (1, 2, 5, 8)
+    srs = (8, 4, 2, 1)
+
+    def __init__(self, depths=(1, 2, 1, 1)):
+        super().__init__()
+        self.depths = depths
+        cin = 3
+        for i, d in enumerate(self.dims):
+            patch, stride = (7, 4) if i == 0 else (3, 2)
+            pe = nn.Module()
+            pe.proj = nn.Conv2d(cin, d, patch, stride, patch // 2)
+            pe.norm = nn.LayerNorm(d, eps=1e-6)
+            setattr(self, f"patch_embed{i + 1}", pe)
+            setattr(self, f"block{i + 1}", nn.ModuleList([
+                PVTBlockTorch(d, self.heads[i], self.srs[i])
+                for _ in range(depths[i])
+            ]))
+            setattr(self, f"norm{i + 1}", nn.LayerNorm(d, eps=1e-6))
+            cin = d
+
+    def forward(self, x):
+        out = {}
+        for i in range(4):
+            pe = getattr(self, f"patch_embed{i + 1}")
+            x = pe.proj(x)
+            B, C, H, W = x.shape
+            x = pe.norm(x.flatten(2).transpose(1, 2))
+            for blk in getattr(self, f"block{i + 1}"):
+                x = blk(x, H, W)
+            x = getattr(self, f"norm{i + 1}")(x)
+            x = x.transpose(1, 2).reshape(B, C, H, W)
+            out[f"res{i + 2}"] = x
+        return out
+
+
 class SEBlock(nn.Module):
     """ref: models/utils/misc.py:112-131 channel_weighted_block."""
 
@@ -486,16 +586,22 @@ class AudioMLPTorch(nn.Module):
 class ComboTorch(nn.Module):
     """The full reference graph, eval forward (S4 late-fusion MHA-B)."""
 
-    def __init__(self, num_classes=2, num_queries=5, enc_layers=2, dec_layers=2):
+    def __init__(self, num_classes=2, num_queries=5, enc_layers=2, dec_layers=2,
+                 backbone="resnet", pvt_depths=(1, 2, 1, 1)):
         super().__init__()
-        self.backbone = ResNet50()
-        self.pre_sam_backbone = ResNet50()
+        if backbone == "pvt":
+            self.backbone = PVTv2Torch(pvt_depths)
+            self.pre_sam_backbone = PVTv2Torch(pvt_depths)
+            dims = PVTv2Torch.dims
+        else:
+            self.backbone = ResNet50()
+            self.pre_sam_backbone = ResNet50()
+            dims = (256, 512, 1024, 2048)
         self.audio_backbone = VGGishTorch()
-        self.scale_factor_module = nn.ModuleList(
-            [SEBlock(d) for d in (256, 512, 1024, 2048)]
-        )
+        self.scale_factor_module = nn.ModuleList([SEBlock(d) for d in dims])
         sem = nn.Module()
-        sem.pixel_decoder = PixelDecoderTorch(enc_layers=enc_layers)
+        sem.pixel_decoder = PixelDecoderTorch(in_channels=dims,
+                                              enc_layers=enc_layers)
         sem.fusion_module = FusionTorch()
         sem.audio_transformation = AudioMLPTorch(256)
         sem.predictor = PredictorTorch(num_classes=num_classes,
