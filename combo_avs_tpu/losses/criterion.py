@@ -42,9 +42,15 @@ def uncertainty_sampled_points(
     num_points: int,
     oversample_ratio: float,
     importance_sample_ratio: float,
+    exact_topk: bool = False,
 ) -> jnp.ndarray:
     """PointRend point selection (ref: criterion.py:158-166 via detectron2
-    `get_uncertain_point_coords_with_randomness`); returns [M, num_points, 2]."""
+    `get_uncertain_point_coords_with_randomness`); returns [M, num_points, 2].
+
+    exact_topk=False (default) uses TPU `approx_max_k` (recall>=0.95) for the
+    uncertain-point selection; True forces the reference's exact top-k
+    (MODEL.MASK_FORMER.EXACT_TOPK_POINTS — a TPU-native speed/fidelity knob,
+    no reference equivalent)."""
     M = mask_logits.shape[0]
     n_sampled = int(num_points * oversample_ratio)
     n_uncertain = int(num_points * importance_sample_ratio)
@@ -54,7 +60,7 @@ def uncertainty_sampled_points(
     coords = jax.random.uniform(k1, (M, n_sampled, 2))
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
     uncertainty = -jnp.abs(logits)
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and not exact_topk:
         # TPU-native approximate top-k (PartialReduce): ~2x faster than the
         # exact sort at 37k points, recall >= 0.95. The "top uncertain" set
         # is a heuristic over RANDOM points — swapping a few near-top points
@@ -86,6 +92,7 @@ class SetCriterion:
         importance_sample_ratio: float = 0.75,
         cosine_n_frame: int = 5,
         remat: bool = True,
+        exact_topk: bool = False,
     ):
         self.num_classes = num_classes
         self.matcher = matcher
@@ -95,6 +102,7 @@ class SetCriterion:
         self.importance_sample_ratio = importance_sample_ratio
         self.cosine_n_frame = cosine_n_frame
         self.remat = remat
+        self.exact_topk = exact_topk
 
     # ------------------------------------------------------------------
     def _loss_labels(self, pred_logits, labels, valid, assign, frame_weight):
@@ -128,6 +136,7 @@ class SetCriterion:
         coords = uncertainty_sampled_points(
             key, jax.lax.stop_gradient(src_f), self.num_points,
             self.oversample_ratio, self.importance_sample_ratio,
+            exact_topk=self.exact_topk,
         )
         point_labels = jax.lax.stop_gradient(
             point_sample(tgt_f[..., None], coords)[..., 0]

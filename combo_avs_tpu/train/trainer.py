@@ -36,6 +36,7 @@ from combo_avs_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from combo_avs_tpu.train.optim import build_optimizer
+from combo_avs_tpu.utils.events import EventStorage, JSONWriter, TensorBoardWriter
 from combo_avs_tpu.train.train_step import (
     create_train_state,
     make_eval_step,
@@ -89,6 +90,7 @@ def build_criterion(cfg) -> SetCriterion:
         oversample_ratio=mf.OVERSAMPLE_RATIO,
         importance_sample_ratio=mf.IMPORTANCE_SAMPLE_RATIO,
         cosine_n_frame=5,  # ref: criterion.py:282-286 always n_frame=5
+        exact_topk=mf.get("EXACT_TOPK_POINTS", False),
     )
 
 
@@ -156,7 +158,33 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
         t_compute, t_compute / n_iter, jax.local_device_count(),
     )
     merge_evaluator_across_hosts(evaluator)
-    return evaluator.evaluate()
+    results = evaluator.evaluate()
+    # artifact dump + csv summary on the main process, like the reference
+    # (ref: sem_seg_evaluation.py:273-277 torch.save; pred.py:183
+    # print_csv_format)
+    if jax.process_index() == 0 and cfg.OUTPUT_DIR:
+        inference_dir = os.path.join(cfg.OUTPUT_DIR, "inference")
+        os.makedirs(inference_dir, exist_ok=True)
+        try:
+            import torch
+
+            torch.save(results["sem_seg"],
+                       os.path.join(inference_dir, "sem_seg_evaluation.pth"))
+        except Exception:  # torch-less deployments still get the json
+            with open(os.path.join(inference_dir, "sem_seg_evaluation.json"), "w") as f:
+                json.dump(results["sem_seg"], f)
+        print_csv_format(results)
+    return results
+
+
+def print_csv_format(results: Dict) -> None:
+    """d2 print_csv_format: greppable 'copypaste:' lines per task."""
+    for task, metrics in results.items():
+        logger.info("Evaluation results for %s:", task)
+        logger.info("copypaste: Task: %s", task)
+        logger.info("copypaste: %s", ",".join(metrics.keys()))
+        logger.info("copypaste: %s",
+                    ",".join(f"{v:.4f}" for v in metrics.values()))
 
 
 class Trainer:
@@ -172,6 +200,13 @@ class Trainer:
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         self.best_ckpt = BestCheckpointer(cfg.OUTPUT_DIR, metric="mIoU")
         self.metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl")
+        # d2-style event storage + writers (SURVEY §5: EventStorage,
+        # metrics.json, TensorBoard)
+        self.storage = EventStorage()
+        self.writers = [
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            TensorBoardWriter(os.path.join(cfg.OUTPUT_DIR, "tb")),
+        ]
         self.state = None
         self.start_iter = 0
 
@@ -266,6 +301,13 @@ class Trainer:
                     )
                     with open(self.metrics_file, "a") as f:
                         f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
+                    self.storage.iter = it + 1
+                    self.storage.put_scalars(
+                        total_loss=loss, lr=lr,
+                        **{k: float(v) for k, v in metrics.items() if k != "total_loss"},
+                    )
+                    for w in self.writers:
+                        w.write(self.storage)
 
                 if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
                     self._eval_and_track(it + 1)
@@ -281,6 +323,12 @@ class Trainer:
                     "  (new best)" if improved else "")
         with open(self.metrics_file, "a") as f:
             f.write(json.dumps({"iter": step, **results["sem_seg"]}) + "\n")
+        self.storage.iter = step
+        self.storage.put_scalars(
+            **{f"sem_seg/{k}": v for k, v in results["sem_seg"].items()}
+        )
+        for w in self.writers:
+            w.write(self.storage)
         return results
 
     def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None):

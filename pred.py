@@ -50,15 +50,19 @@ def main():
             dec_layers=cfg.MODEL.MASK_FORMER.DEC_LAYERS - 1,
             enc_layers=cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS,
         )
-        batch = trainer._sample_batch()
-        optimizer, _ = trainer._optimizer_for(batch)
         import jax
 
+        from combo_avs_tpu.train.optim import build_optimizer
         from combo_avs_tpu.train.train_step import create_train_state
 
-        state = create_train_state(trainer.model, optimizer, batch, jax.random.PRNGKey(0))
+        batch = trainer._sample_batch()
+        init_vars = trainer._init_variables(batch, jax.random.PRNGKey(0))
+        optimizer, _ = build_optimizer(cfg, init_vars["params"])
+        state = create_train_state(
+            trainer.model, optimizer, batch, jax.random.PRNGKey(0), variables=init_vars
+        )
         trainer.state = state.replace(
-            params=variables["params"], frozen=variables["frozen"]
+            params=variables["params"], frozen=variables.get("frozen", {})
         )
         logging.getLogger("COMBO").info("Loaded torch checkpoint %s", ckpt)
     elif os.path.isdir(ckpt):

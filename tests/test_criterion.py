@@ -171,3 +171,33 @@ def test_weight_dict_and_total_loss():
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_uncertainty_points_exact_topk():
+    """The exact_topk switch (MODEL.MASK_FORMER.EXACT_TOPK_POINTS) selects
+    exactly the most-uncertain sampled points, matching detectron2's
+    get_uncertain_point_coords_with_randomness semantics (ref:
+    criterion.py:158-166): 75% top-|uncertainty| of a 3x oversample + 25%
+    fresh random points."""
+    from combo_avs_tpu.losses.criterion import uncertainty_sampled_points
+    from combo_avs_tpu.ops.grid_sample import point_sample
+
+    key = jax.random.PRNGKey(5)
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(3, 16, 16).astype(np.float32)) * 3
+    P, OS, IR = 32, 3.0, 0.75
+    pts = uncertainty_sampled_points(key, logits, P, OS, IR, exact_topk=True)
+    assert pts.shape == (3, P, 2)
+
+    # recompute the oversampled pool with the same key stream
+    k1, _ = jax.random.split(key)
+    coords = jax.random.uniform(k1, (3, int(P * OS), 2))
+    samp = point_sample(logits[..., None], coords)[..., 0]
+    unc = -jnp.abs(samp)
+    n_unc = int(P * IR)
+    kth = jnp.sort(unc, axis=-1)[:, -n_unc]
+    # every selected "uncertain" point is in the true top set (>= kth value)
+    sel_unc = -jnp.abs(point_sample(logits[..., None], pts[:, :n_unc])[..., 0])
+    assert bool((sel_unc >= kth[:, None] - 1e-6).all())
+    # the random tail stays in [0, 1]
+    assert float(pts[:, n_unc:].min()) >= 0 and float(pts[:, n_unc:].max()) <= 1

@@ -1,0 +1,43 @@
+"""EventStorage / writer tests (d2 EventStorage surface, SURVEY §5)."""
+
+import json
+
+from combo_avs_tpu.utils.events import EventStorage, JSONWriter, TensorBoardWriter
+
+
+def test_event_storage_latest_and_median():
+    s = EventStorage(window_size=3)
+    for it, v in enumerate([1.0, 5.0, 3.0, 7.0]):
+        s.iter = it
+        s.put_scalar("loss", v)
+    assert s.latest()["loss"] == (7.0, 3)
+    # window keeps the last 3: median(5, 3, 7) = 5
+    assert s.median("loss") == 5.0
+    sm = s.latest_with_smoothing_hint()
+    assert sm["loss"] == (5.0, 3)
+
+
+def test_json_writer_format(tmp_path):
+    path = str(tmp_path / "metrics.json")
+    s = EventStorage()
+    w = JSONWriter(path)
+    s.iter = 10
+    s.put_scalars(total_loss=2.5, lr=1e-4)
+    w.write(s)
+    s.iter = 20
+    s.put_scalar("total_loss", 1.5)
+    w.write(s)
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[0]["iteration"] == 10 and rows[0]["total_loss"] == 2.5
+    assert rows[1]["iteration"] == 20
+    assert rows[1]["lr"] == 1e-4  # carried forward with its smoothed value
+
+
+def test_tensorboard_writer(tmp_path):
+    s = EventStorage()
+    s.put_scalar("x", 1.0)
+    w = TensorBoardWriter(str(tmp_path / "tb"))
+    w.write(s)
+    w.close()
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert files, "no tensorboard event file written"

@@ -120,6 +120,16 @@ def test_trainer_train_eval_best_resume(tiny_cfg):
     dirs = sorted(os.listdir(cfg.OUTPUT_DIR))
     assert "step_6" in dirs and "step_8" in dirs
     assert "model_best" in dirs
+    # event writers (d2 surface): metrics.json + tensorboard events +
+    # the evaluator artifact dump (ref: sem_seg_evaluation.py:273-277)
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+    assert os.path.isdir(os.path.join(cfg.OUTPUT_DIR, "tb"))
+    assert os.path.exists(
+        os.path.join(cfg.OUTPUT_DIR, "inference", "sem_seg_evaluation.pth"))
+    with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
+        jrows = [json.loads(l) for l in f]
+    assert all("iteration" in r for r in jrows)
+    assert any("sem_seg/mIoU" in r for r in jrows)
     evals = [r for r in rows if "mIoU" in r]
     assert len(evals) == 2  # EVAL_PERIOD=4 over 8 iters
     assert trainer.best_ckpt.best == max(e["mIoU"] for e in evals)

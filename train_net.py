@@ -57,13 +57,17 @@ def load_pretrained(cfg, trainer):
     fan-out of the backbone weights (ref: README.md:49-62)."""
     from combo_avs_tpu.train import checkpoint as ck
 
-    batch = trainer._sample_batch()
-    optimizer, _ = trainer._optimizer_for(batch)
     import jax
 
+    from combo_avs_tpu.train.optim import build_optimizer
     from combo_avs_tpu.train.train_step import create_train_state
 
-    state = create_train_state(trainer.model, optimizer, batch, jax.random.PRNGKey(0))
+    batch = trainer._sample_batch()
+    init_vars = trainer._init_variables(batch, jax.random.PRNGKey(0))
+    optimizer, _ = build_optimizer(trainer.cfg, init_vars["params"])
+    state = create_train_state(
+        trainer.model, optimizer, batch, jax.random.PRNGKey(0), variables=init_vars
+    )
     params = jax.device_get(state.params)
     frozen = jax.device_get(state.frozen)
 
