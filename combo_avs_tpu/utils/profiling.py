@@ -36,7 +36,13 @@ def device_timer(fn: Callable, *args, iters: int = 8, repeats: int = 3) -> float
 
     `fn` is looped `iters` times inside one jit with a scalar data dependency
     chained between iterations, and a scalar is fetched at the end — this
-    measures true execution time even where `block_until_ready` lies."""
+    measures true execution time even where `block_until_ready` lies.
+
+    The carry is injected into every floating leaf so nothing is hoisted out
+    of the loop; that re-materializes the input tree each iteration, which
+    costs one HBM read+write of it (< 0.5 ms even for the full model) — use
+    iters >= 32 for sub-ms ops so both that and the tunnel round-trip
+    amortize."""
 
     @jax.jit
     def looped(*a):

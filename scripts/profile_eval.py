@@ -48,7 +48,7 @@ def main():
         # variables are passed as ARGUMENTS (a closure would inline them as
         # constants — the axon remote-compile upload rejects >100MB programs)
         v = cast(jax.jit(module.init)(jax.random.PRNGKey(0), *args))
-        dt = device_timer(lambda v, *a: module.apply(v, *a), v, *cast(args))
+        dt = device_timer(lambda v, *a: module.apply(v, *a), v, *cast(args), iters=32)
         rows.append((name, dt))
         return dt
 
@@ -60,7 +60,7 @@ def main():
         out = model.apply(v, images, mel, pre)
         return semantic_inference(out["pred_logits"], out["pred_masks"], out_size=(S, S))
 
-    t_full = device_timer(full_step, vars_full, *cast((images, mel, pre)))
+    t_full = device_timer(full_step, vars_full, *cast((images, mel, pre)), iters=16)
     rows.append(("FULL eval step (incl. semantic_inference)", t_full))
 
     # 2. components
@@ -77,13 +77,13 @@ def main():
     }
     se = SqueezeExcite(256)
     vse = cast(jax.jit(se.init)(jax.random.PRNGKey(0), feats["res2"]))
-    dt = device_timer(lambda v, f: se.apply(v, f) * f + f, vse, cast(feats["res2"]))
+    dt = device_timer(lambda v, f: se.apply(v, f) * f + f, vse, cast(feats["res2"]), iters=64)
     rows.append(("SE gate+inject res2 (x4 levels approx 4x)", dt))
 
     head = MaskFormerHead(num_classes=2)
     audio = rng.randn(N, 1, 128).astype(np.float32)
     vhead = cast(jax.jit(head.init)(jax.random.PRNGKey(0), feats, audio))
-    t_head = device_timer(lambda v, f, a: head.apply(v, f, a), vhead, cast(feats), cast(audio))
+    t_head = device_timer(lambda v, f, a: head.apply(v, f, a), vhead, cast(feats), cast(audio), iters=32)
     rows.append(("sem_seg_head (pixel dec + fusion + decoder)", t_head))
 
     # 2b. pixel decoder alone
@@ -91,7 +91,7 @@ def main():
 
     pd = MSDeformAttnPixelDecoder()
     vpd = cast(jax.jit(pd.init)(jax.random.PRNGKey(0), feats))
-    t_pd = device_timer(lambda v, f: pd.apply(v, f), vpd, cast(feats))
+    t_pd = device_timer(lambda v, f: pd.apply(v, f), vpd, cast(feats), iters=32)
     rows.append(("  pixel decoder (6-layer deformable encoder)", t_pd))
     rows.append(("  (head - pixel decoder = fusion + tx decoder)", t_head - t_pd))
 
@@ -99,7 +99,8 @@ def main():
     logits = rng.randn(N, 100, 3).astype(np.float32)
     masks = rng.randn(N, 100, 56, 56).astype(np.float32)
     t_si = device_timer(
-        lambda l, m: semantic_inference(l, m, out_size=(S, S)), cast(logits), cast(masks)
+        lambda l, m: semantic_inference(l, m, out_size=(S, S)), cast(logits),
+        cast(masks), iters=64,
     )
     rows.append(("semantic_inference (100-mask upsample + einsum)", t_si))
 
