@@ -29,8 +29,13 @@ from typing import Dict, List, Optional, Sequence
 import cv2
 import numpy as np
 
+from combo_avs_tpu import native
+
 
 def read_image(path: str, gray: bool = False) -> np.ndarray:
+    io = native.get_io()
+    if io is not None:
+        return io.decode(path, gray=gray)
     flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
     img = cv2.imread(path, flag)
     if img is None:
@@ -38,6 +43,16 @@ def read_image(path: str, gray: bool = False) -> np.ndarray:
     if not gray:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     return img
+
+
+def read_images(paths: Sequence[str], gray: bool = False) -> List[np.ndarray]:
+    """Batched decode: the native C++ pool decodes a whole video's frames in
+    parallel with the GIL released (combo_avs_tpu/native); cv2 fallback is
+    sequential."""
+    io = native.get_io()
+    if io is not None and len(paths) > 1:
+        return io.decode_batch(list(paths), gray=gray, threads=min(8, len(paths)))
+    return [read_image(p, gray=gray) for p in paths]
 
 
 # ---------------------------------------------------------------------------
@@ -231,14 +246,14 @@ class AVSSemanticDatasetMapper:
 
     def __call__(self, record: Dict) -> Dict[str, np.ndarray]:
         T = record["num_frames"]
-        images = [read_image(p) for p in record["file_names"]]
+        images = read_images(record["file_names"])
         gts: List[Optional[np.ndarray]] = [None] * T
-        for i, p in enumerate(record.get("sem_seg_file_names", [])[:T]):
-            g = read_image(p, gray=True)
+        gt_paths = record.get("sem_seg_file_names", [])[:T]
+        for i, g in enumerate(read_images(gt_paths, gray=True)):
             gts[i] = (g // 255).astype(np.int32) if self.binary_gt else g.astype(np.int32)
         pres = None
         if self.use_pre_sam and record.get("pre_mask_file_names"):
-            pres = [read_image(p) for p in record["pre_mask_file_names"][:T]]
+            pres = read_images(record["pre_mask_file_names"][:T])
 
         if self.augmentation and self.geometric_aug:
             tf = sample_video_transform(

@@ -1,0 +1,141 @@
+"""Component-wise on-chip timing of the S4 train step (COMBO-R50, bs8, fp32).
+
+Splits the 0.57 s/step into: model forward, model forward+backward,
+criterion forward (matcher + PointRend/dice/CE/cosine over 10 decoder
+layers), criterion forward+backward (w.r.t. model outputs), matcher alone,
+and the AdamW+clip update. Uses the axon-safe device_timer.
+
+Usage: python scripts/profile_train.py [--bs N]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from combo_avs_tpu.config import get_cfg
+    from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict, total_loss
+    from combo_avs_tpu.losses.matcher import HungarianMatcher
+    from combo_avs_tpu.models.meta_arch import MaskFormer
+    from combo_avs_tpu.train.optim import build_optimizer
+    from combo_avs_tpu.train.train_step import (
+        _flatten_targets, create_train_state, make_train_step)
+    from combo_avs_tpu.utils.profiling import device_timer
+
+    B = 8
+    if "--bs" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--bs") + 1])
+    T, S, K = 5, 224, 3
+    model = MaskFormer(deterministic=False, num_classes=2)
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "audio_log_mel": rng.randn(B, T, 96, 64).astype(np.float32),
+        "pre_masks": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "labels": rng.randint(0, 2, (B, T, K)).astype(np.int32),
+        "masks": (rng.rand(B, T, K, S, S) > 0.5).astype(np.float32),
+        "valid": np.zeros((B, T, K), bool),
+        "gt_temporal_mask": np.tile(
+            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)),
+    }
+    batch["valid"][:, :, :2] = True
+
+    cfg = get_cfg()
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
+    matcher = HungarianMatcher()
+    criterion = SetCriterion(num_classes=2, matcher=matcher, cosine_n_frame=T)
+    wd = build_weight_dict(cfg)
+
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"], None,
+    )
+    optimizer, _ = build_optimizer(cfg, variables["params"])
+    state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0),
+                               variables=variables)
+    train_step = make_train_step(model, criterion, wd, optimizer)
+    batch = jax.device_put(batch)
+    rows = []
+
+    # 1. full step
+    def full(state, batch):
+        s2, m = train_step(state, batch, jax.random.PRNGKey(7))
+        return m["total_loss"]
+    rows.append(("FULL train step", device_timer(full, state, batch, iters=4)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  FULL", flush=True)
+
+    params, frozen = state.params, state.frozen
+
+    def fwd_model(params, batch):
+        return model.apply(
+            {"params": params, "frozen": frozen}, batch["images"],
+            batch["audio_log_mel"], batch["pre_masks"], None,
+            rngs={"dropout": jax.random.PRNGKey(3)})
+
+    # 2. model forward only (sum outputs)
+    def fwd_only(params, batch):
+        out = fwd_model(params, batch)
+        return sum(jnp.sum(l) for l in jax.tree.leaves(out))
+    rows.append(("model forward", device_timer(fwd_only, params, batch, iters=8)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  model fwd", flush=True)
+
+    # 3. model forward+backward (no criterion)
+    gfn = jax.grad(fwd_only)
+    def fwd_bwd(params, batch):
+        g = gfn(params, batch)
+        return jax.tree.leaves(g)[0].ravel()[0]
+    rows.append(("model fwd+bwd", device_timer(fwd_bwd, params, batch, iters=4)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  model fwd+bwd", flush=True)
+
+    # criterion on fixed outputs
+    outputs = jax.jit(fwd_model)(params, batch)
+    targets = {k: jnp.asarray(v) for k, v in _flatten_targets(batch).items()}
+    fw = jnp.asarray(batch["gt_temporal_mask"]).reshape(-1)
+
+    def crit(outputs):
+        losses = criterion(jax.random.PRNGKey(11), outputs, targets, frame_weight=fw)
+        return total_loss(losses, wd)
+    rows.append(("criterion fwd (incl matcher)",
+                 device_timer(crit, outputs, iters=8)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  criterion fwd", flush=True)
+
+    cgfn = jax.grad(lambda o: crit(o))
+    def crit_bwd(outputs):
+        g = cgfn(outputs)
+        return jax.tree.leaves(g)[0].ravel()[0]
+    rows.append(("criterion fwd+bwd (w.r.t. outputs)",
+                 device_timer(crit_bwd, outputs, iters=4)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  criterion fwd+bwd", flush=True)
+
+    # matcher alone (frame-level, as the criterion calls it per layer)
+    def match_only(outputs):
+        a = matcher(jax.random.PRNGKey(13),
+                    outputs["pred_logits"], outputs["pred_masks"],
+                    targets["labels"], targets["masks"], targets["valid"])
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(a))
+    rows.append(("matcher (1 layer)", device_timer(match_only, outputs, iters=8)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  matcher x1", flush=True)
+
+    # optimizer update alone
+    gsample = jax.jit(lambda p: jax.tree.map(lambda x: x * 1e-3, p))(params)
+    def opt_only(g, params):
+        upd, _ = optimizer.update(g, state.opt_state, params)
+        return jax.tree.leaves(upd)[0].ravel()[0]
+    rows.append(("optimizer update (AdamW+clip)",
+                 device_timer(opt_only, gsample, params, iters=8)))
+    print(f"{rows[-1][1] * 1e3:9.1f} ms  optimizer", flush=True)
+
+    print(f"\n=== bs{B} x {T}f fp32 train step ===")
+    for name, dt in rows:
+        print(f"{dt * 1e3:9.1f} ms  {name}")
+
+
+if __name__ == "__main__":
+    main()
