@@ -111,8 +111,11 @@ def eval_loader(
     mapper: Callable[[dict], Dict[str, np.ndarray]],
     batch_size: int = 1,
     num_workers: int = 4,
+    with_records: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Sequential one-pass loader; batches never mix frame counts."""
+    """Sequential one-pass loader; batches never mix frame counts.
+    with_records=True yields (batch, records_chunk) so callers can attach
+    per-video metadata (e.g. the visualization dump names its files)."""
     pool = ThreadPoolExecutor(num_workers)
     by_t: Dict[int, List[dict]] = {}
     for r in records:
@@ -121,4 +124,5 @@ def eval_loader(
         for i in range(0, len(recs), batch_size):
             chunk = recs[i : i + batch_size]
             samples = list(pool.map(mapper, chunk))
-            yield _stack_batch(samples)
+            batch = _stack_batch(samples)
+            yield (batch, chunk) if with_records else batch

@@ -106,11 +106,16 @@ def shard_records(records, process_index: int, process_count: int):
 def evaluate(cfg, model, params, frozen, dataset_name: str,
              batch_size: int = 1, max_videos: Optional[int] = None,
              process_index: Optional[int] = None,
-             process_count: Optional[int] = None) -> Dict:
+             process_count: Optional[int] = None,
+             vis_dir: Optional[str] = None) -> Dict:
     """Run inference_on_dataset (ref: evaluator.py:106-255) and return
     {"sem_seg": {...}} metrics with the reference's timing logs. Under
     jax.distributed each host evaluates its record shard and accumulators
-    are summed across hosts before the final mean."""
+    are summed across hosts before the final mean.
+
+    vis_dir: dump per-frame colored prediction masks there (the surface the
+    reference keeps commented out, ref: evaluator.py:172-198 +
+    misc/visual.py)."""
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
@@ -127,9 +132,12 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
         bf16 = jax.default_backend() != "cpu"
     eval_step = make_eval_step(model, out_size=(size, size), bf16=bool(bf16))
 
+    if vis_dir:
+        os.makedirs(vis_dir, exist_ok=True)
     n_frames_total, t_compute, t_data, t0 = 0, 0.0, 0.0, time.perf_counter()
     t_mark = time.perf_counter()
-    for batch in eval_loader(records, mapper, batch_size=batch_size):
+    for batch, recs in eval_loader(records, mapper, batch_size=batch_size,
+                                   with_records=True):
         t_data += time.perf_counter() - t_mark
         tc = time.perf_counter()
         sem = np.asarray(eval_step(params, frozen, batch))
@@ -144,6 +152,8 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
             pred = sem_seg_postprocess(sem[b], hw, oh, ow)
             gt = crop_and_resize_gt(batch["sem_segs"][b], hw, oh, ow)
             evaluator.process(pred, gt)
+            if vis_dir:
+                save_prediction_vis(vis_dir, recs[b]["video"], pred)
         n_frames_total += B * T
         t_mark = time.perf_counter()
 
@@ -175,6 +185,22 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
                 json.dump(results["sem_seg"], f)
         print_csv_format(results)
     return results
+
+
+def save_prediction_vis(vis_dir: str, video: str, pred: np.ndarray) -> None:
+    """Dump one colored PNG per frame. pred [T, C, H, W] class probabilities:
+    binary (C==2) thresholds the foreground at 0.5, semantic takes argmax
+    (ref: the commented vis path, evaluator.py:172-198; palettes from
+    misc/visual.py)."""
+    from combo_avs_tpu.evaluation.visual import (
+        binary_color_map, save_mask_png, v2_pallete)
+
+    T, C = pred.shape[:2]
+    palette = binary_color_map() if C <= 2 else v2_pallete(C)
+    for t in range(T):
+        mask = ((pred[t, 1] > 0.5).astype(np.int32) if C <= 2
+                else pred[t].argmax(0).astype(np.int32))
+        save_mask_png(os.path.join(vis_dir, f"{video}_{t}.png"), mask, palette)
 
 
 def print_csv_format(results: Dict) -> None:
@@ -331,9 +357,10 @@ class Trainer:
             w.write(self.storage)
         return results
 
-    def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None):
+    def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None,
+             vis_dir: Optional[str] = None):
         name = dataset_name or self.cfg.DATASETS.TEST[0]
         params = self.state.params
         frozen = self.state.frozen
         return evaluate(self.cfg, self.eval_model, params, frozen, name,
-                        max_videos=max_videos)
+                        max_videos=max_videos, vis_dir=vis_dir)

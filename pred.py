@@ -25,6 +25,8 @@ def parse_args():
         default=os.environ.get("DETECTRON2_DATASETS", os.environ.get("AVS_DATASETS", "AVS_dataset")),
     )
     p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument("--save-vis", action="store_true",
+                   help="dump colored prediction masks to OUTPUT_DIR/vis/<dataset>")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -73,7 +75,9 @@ def main():
 
     all_results = {}
     for dataset in cfg.DATASETS.TEST:
-        results = trainer.test(dataset, max_videos=args.max_videos)
+        vis_dir = (os.path.join(cfg.OUTPUT_DIR, "vis", dataset)
+                   if args.save_vis else None)
+        results = trainer.test(dataset, max_videos=args.max_videos, vis_dir=vis_dir)
         all_results[dataset] = results["sem_seg"]
         print(dataset, results["sem_seg"])
     return all_results

@@ -129,9 +129,15 @@ def test_pred_cli_end_to_end(cli_env, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", [
         "pred.py", "--config-file", yml, "--datasets-root", root,
-        "--num-devices", "1",
+        "--num-devices", "1", "--save-vis",
     ])
     results = pred.main()
     sem = results["avss4_sem_seg_val"]
     assert set(sem) >= {"mIoU", "f_score"}
     assert 0.0 <= sem["mIoU"] <= 1.0 or 0.0 <= sem["mIoU"] <= 100.0
+    # --save-vis dumped one colored mask per frame (2 videos x 5 frames)
+    vis = os.path.join(out_dir, "vis", "avss4_sem_seg_val")
+    assert sorted(os.listdir(vis)) == sorted(
+        f"{v}_{t}.png" for v in ("va", "vb") for t in range(5))
+    m = cv2.imread(os.path.join(vis, "va_0.png"))
+    assert m is not None and m.shape[2] == 3
