@@ -209,19 +209,33 @@ class SetCriterion:
         losses: Dict[str, jnp.ndarray] = {}
         keys = jax.random.split(key, 2 * len(layers))
 
-        # per layer: matcher and point selection are gradient-free and run
+        # All DEC_LAYERS (final + aux) share one loss body, so it is run via
+        # lax.map over a stacked layer axis: XLA compiles the matcher +
+        # PointRend losses ONCE instead of 10 unrolled copies (the dominant
+        # compile cost of the train step), with bit-identical math and the
+        # same sequential execution/memory profile as the unrolled loop.
+        # Per layer: matcher and point selection are gradient-free and run
         # once (outside any remat); only _loss_masks' differentiable core is
         # checkpointed (see _loss_masks) so backward replays just one 12544-
-        # point sampling per layer instead of the full matcher + oversample
-        for j, (logits, masks, suffix) in enumerate(layers):
-            assign = self.matcher(keys[2 * j], logits, masks, labels, tgt_masks, valid)
+        # point sampling per layer instead of the full matcher + oversample.
+        stacked_logits = jnp.stack([l for l, _, _ in layers])
+        stacked_masks = jnp.stack([m for _, m, _ in layers])
+        kmat = jnp.stack([keys[2 * j] for j in range(len(layers))])
+        ksamp = jnp.stack([keys[2 * j + 1] for j in range(len(layers))])
+
+        def per_layer(args):
+            logits, masks, km, ks = args
+            assign = self.matcher(km, logits, masks, labels, tgt_masks, valid)
             ce = self._loss_labels(logits, labels, valid, assign, frame_weight)
-            lm, ld = self._loss_masks(
-                keys[2 * j + 1], masks, tgt_masks, valid, assign, num_masks
-            )
-            losses[f"loss_ce{suffix}"] = ce
-            losses[f"loss_mask{suffix}"] = lm
-            losses[f"loss_dice{suffix}"] = ld
+            lm, ld = self._loss_masks(ks, masks, tgt_masks, valid, assign, num_masks)
+            return ce, lm, ld
+
+        ces, lms, lds = jax.lax.map(
+            per_layer, (stacked_logits, stacked_masks, kmat, ksamp))
+        for j, (_, _, suffix) in enumerate(layers):
+            losses[f"loss_ce{suffix}"] = ces[j]
+            losses[f"loss_mask{suffix}"] = lms[j]
+            losses[f"loss_dice{suffix}"] = lds[j]
 
         for i, middle in enumerate(outputs.get("middles_attn_mask", [])):
             losses[f"loss_cosine_{i}"] = self._loss_cosine(middle)
