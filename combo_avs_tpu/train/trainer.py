@@ -107,11 +107,18 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
              batch_size: int = 1, max_videos: Optional[int] = None,
              process_index: Optional[int] = None,
              process_count: Optional[int] = None,
-             vis_dir: Optional[str] = None) -> Dict:
+             vis_dir: Optional[str] = None,
+             mesh=None) -> Dict:
     """Run inference_on_dataset (ref: evaluator.py:106-255) and return
     {"sem_seg": {...}} metrics with the reference's timing logs. Under
     jax.distributed each host evaluates its record shard and accumulators
     are summed across hosts before the final mean.
+
+    mesh: a local Mesh(("data",)) — when its size exceeds batch_size, the
+    eval batch grows to one video per chip and is sharded on "data", so all
+    local chips run inference (the reference's 1-process-per-GPU eval
+    equivalent, ref: pred.py:231-238); per-bucket record lists are padded by
+    repeating the last video and the duplicates are skipped at process time.
 
     vis_dir: dump per-frame colored prediction masks there (the surface the
     reference keeps commented out, ref: evaluator.py:172-198 +
@@ -124,6 +131,16 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     if max_videos:
         records = records[:max_videos]
     records = shard_records(records, process_index, process_count)
+    if mesh is not None and mesh.size > batch_size:
+        batch_size = mesh.size
+    if batch_size > 1:  # pad each frame-count bucket to full batches
+        by_t: Dict[int, list] = {}
+        for r in records:
+            by_t.setdefault(r["num_frames"], []).append(r)
+        records = []
+        for _, recs in sorted(by_t.items()):
+            pad = (-len(recs)) % batch_size
+            records.extend(recs + [dict(recs[-1], _pad=True)] * pad)
     mapper = build_mapper(cfg, is_train=False)
     evaluator = build_evaluator(cfg, dataset_name)
     size = cfg.INPUT.SIZE_DIVISIBILITY if cfg.INPUT.SIZE_DIVISIBILITY > 0 else 224
@@ -134,17 +151,26 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
 
     if vis_dir:
         os.makedirs(vis_dir, exist_ok=True)
+    if mesh is not None and mesh.size > 1:
+        params, frozen = replicate((params, frozen), mesh)
     n_frames_total, t_compute, t_data, t0 = 0, 0.0, 0.0, time.perf_counter()
     t_mark = time.perf_counter()
     for batch, recs in eval_loader(records, mapper, batch_size=batch_size,
                                    with_records=True):
         t_data += time.perf_counter() - t_mark
         tc = time.perf_counter()
-        sem = np.asarray(eval_step(params, frozen, batch))
+        if mesh is not None and mesh.size > 1:
+            dev_batch = shard_batch(batch, mesh)
+            with mesh:
+                sem = np.asarray(eval_step(params, frozen, dev_batch))
+        else:
+            sem = np.asarray(eval_step(params, frozen, batch))
         t_compute += time.perf_counter() - tc
         B, T = batch["images"].shape[:2]
         sem = sem.reshape(B, T, *sem.shape[1:])
         for b in range(B):
+            if recs[b].get("_pad"):
+                continue  # bucket-fill duplicate (multi-chip batch padding)
             # original-size postprocess (ref: maskformer_model.py:397-441):
             # crop the padded region, resize pred + GT to the record's (h, w)
             hw = batch["image_size"][b]
@@ -363,4 +389,4 @@ class Trainer:
         params = self.state.params
         frozen = self.state.frozen
         return evaluate(self.cfg, self.eval_model, params, frozen, name,
-                        max_videos=max_videos, vis_dir=vis_dir)
+                        max_videos=max_videos, vis_dir=vis_dir, mesh=self.mesh)

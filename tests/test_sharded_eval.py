@@ -1,0 +1,94 @@
+"""Multi-chip eval: evaluate(mesh=8-device CPU mesh) shards one video per
+device (batch padded per bucket, duplicates skipped) and must produce
+bit-identical metrics to the single-device pass — the eval-side counterpart
+of the reference's per-GPU eval processes (ref: pred.py:231-238)."""
+
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+from combo_avs_tpu.config import get_cfg
+from combo_avs_tpu.data.catalogs import load_avss4_records, register
+
+S = 64
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tiny_s4_sh")
+    rng = np.random.RandomState(1)
+    for vid in ("v1", "v2", "v3"):  # 3 videos -> pads to 8 on the mesh
+        fdir = root / "visual_frames" / "val" / "cat" / vid
+        mdir = root / "gt_masks" / "val" / "cat" / vid
+        adir = root / "audio_log_mel" / "val" / "cat"
+        fdir.mkdir(parents=True)
+        mdir.mkdir(parents=True)
+        adir.mkdir(parents=True, exist_ok=True)
+        for i in range(5):
+            img = rng.randint(0, 255, (S, S, 3), np.uint8)
+            cv2.imwrite(str(fdir / f"{vid}_{i + 1}.png"), img)
+            m = np.zeros((S, S), np.uint8)
+            m[:, : S // 2] = 255
+            cv2.imwrite(str(mdir / f"{vid}_{i + 1}.png"), m)
+        with open(adir / f"{vid}.pkl", "wb") as f:
+            pickle.dump(torch.randn(5, 1, 96, 64), f)
+
+    register(
+        "tiny_s4_sh_val",
+        lambda: load_avss4_records(str(root), "val", None),
+        {"stuff_classes": ["background", "object"], "ignore_label": 255,
+         "evaluator_type": "sem_seg", "num_frames": 5},
+    )
+
+    cfg = get_cfg()
+    m = cfg.MODEL
+    m.BACKBONE.NAME = "tiny_resnet"
+    m.PRE_SAM.USE_PRE_SAM = False
+    m.AUDIO.WIDTH_MULT = 0.125
+    m.FUSE_CONFIG.FUSION_STEP = "late"
+    m.FUSE_CONFIG.TYPE = "MHA-B"
+    m.FUSE_CONFIG.AUDIO_DIM = 128
+    m.FUSE_CONFIG.FUSED_BACKBONE = ["res2"]
+    m.FUSE_CONFIG.FUSED_BACKBONE_DIM = [32]
+    m.MASK_FORMER.HIDDEN_DIM = 32
+    m.MASK_FORMER.NHEADS = 2
+    m.MASK_FORMER.DIM_FEEDFORWARD = 64
+    m.MASK_FORMER.DEC_LAYERS = 2
+    m.MASK_FORMER.NUM_OBJECT_QUERIES = 8
+    m.SEM_SEG_HEAD.MASK_DIM = 32
+    m.SEM_SEG_HEAD.CONVS_DIM = 32
+    m.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 1
+    cfg.INPUT.SIZE_DIVISIBILITY = S
+    cfg.DATASETS.TEST = ("tiny_s4_sh_val",)
+    cfg.OUTPUT_DIR = ""
+    return cfg
+
+
+def test_sharded_eval_matches_single_device(eval_env):
+    import jax
+
+    jax.clear_caches()
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.parallel.mesh import make_mesh
+    from combo_avs_tpu.train.trainer import evaluate
+
+    cfg = eval_env
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    batch_imgs = (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32)
+    mel = rng.randn(1, 5, 96, 64).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch_imgs, mel, None)
+    params, frozen = variables["params"], variables.get("frozen", {})
+
+    single = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val")
+    mesh = make_mesh(8)
+    assert mesh.size == 8
+    sharded = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val", mesh=mesh)
+
+    assert set(single["sem_seg"]) == set(sharded["sem_seg"])
+    for k, v in single["sem_seg"].items():
+        assert np.isclose(v, sharded["sem_seg"][k], atol=1e-6), (k, v, sharded["sem_seg"][k])
