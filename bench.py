@@ -173,13 +173,15 @@ def bench_train():
 
     avss = "avss" in str(_flag("--dataset", ""))
     use_pvt = "pvt" in str(_flag("--model", ""))
+    force_amp = bool(_flag("--amp"))  # bf16 AMP for S4 too (TPU-native option;
+    # the reference recipe keeps S4/MS3 fp32 and only AVSS enables AMP)
     B = int(_flag("--bs", 4 if avss else 8))
     # Kslots: the S4/MS3 mapper pads binary-GT targets to 3 instance slots
     # (trainer.build_mapper max_instances); AVSS uses up to 8 index labels
     T = 10 if avss else 5
     S, Kslots = 224, (8 if avss else 3)
     num_classes = 71 if avss else 2
-    amp = avss  # reference enables AMP only for AVSS
+    amp = avss or force_amp  # reference enables AMP only for AVSS
     LOOP = 4
 
     kwargs = {}

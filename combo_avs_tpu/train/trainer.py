@@ -131,6 +131,9 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     if max_videos:
         records = records[:max_videos]
     records = shard_records(records, process_index, process_count)
+    if process_count > 1:
+        mesh = None  # multi-host eval shards RECORDS per host (above); the
+        # per-chip batch sharding below is the single-host fan-out
     if mesh is not None and mesh.size > batch_size:
         batch_size = mesh.size
     if batch_size > 1:  # pad each frame-count bucket to full batches
