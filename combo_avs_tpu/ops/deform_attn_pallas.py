@@ -156,6 +156,9 @@ def _prep(value, spatial_shapes, sampling_locations, attention_weights, qblk):
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
              precision=jax.lax.Precision.HIGHEST, interpret=False):
+    """Per-(frame x head) grid variant — superseded by `_forward_hfuse` as
+    the production path (see _MAX_OUT_BYTES_HF comment); kept as the
+    measured baseline that scripts/exp_deform_*.py compare against."""
     B, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     G = B * M
@@ -359,6 +362,129 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights, g,
     return dvalue, dloc, dweights
 
 
+# Heads-fused forward (the production path). Measured on-chip vs the
+# per-(frame x head) grid (docs/PROFILE_r3.md): folding all M heads into one
+# cell is ~2% faster standalone and, more importantly, removes the per-head
+# transposes of value/coords/output host-side AND cuts the train-shape
+# chunking from 16 sequential pallas calls (v0: G=B*M=320 cells, 4 MB cap)
+# to 4 (per-frame output rows are M*D wide). A single call fits axon's 16 MB
+# scoped-vmem cap up to ~12 MB of output, which covers the eval shape whole.
+_MAX_OUT_BYTES_HF = 12 * 1024 * 1024
+
+
+def _prep_hfuse(value, spatial_shapes, sampling_locations, attention_weights, qblk):
+    """[B, S, M, D] value + per-head coords -> per-frame packed layout:
+    pk [B, Lqp, M*3*L*P] (xs | ys | ws per head) and value [B, S_pad, M*D]
+    with 128-lane-aligned level segments."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    LP = L * P
+    scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+    pix = sampling_locations * scale[None, None, None, :, None, :] - 0.5
+    xs = pix[..., 0].reshape(B, Lq, M, LP)
+    ys = pix[..., 1].reshape(B, Lq, M, LP)
+    ws = attention_weights.reshape(B, Lq, M, LP)
+    pk = jnp.concatenate([xs, ys, ws], -1).reshape(B, Lq, M * 3 * LP)
+    qpad = (-Lq) % qblk
+    if qpad:
+        # -10 pixel coords give all-zero tents, so padded queries contribute 0
+        pk = jnp.pad(pk, ((0, 0), (0, qpad), (0, 0)), constant_values=-10.0)
+    vv = value.reshape(B, S, M * D)
+    segs, seg_offs = [], []
+    start = off = 0
+    for H, W in spatial_shapes:
+        HW = H * W
+        v = vv[:, start : start + HW]
+        pad = _pad_to(HW, LANE) - HW
+        if pad:
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        segs.append(v)
+        seg_offs.append(off)
+        off += HW + pad
+        start += HW
+    return pk, jnp.concatenate(segs, 1), tuple(seg_offs), Lq + qpad
+
+
+def _kernel_hfuse(pk_ref, value_ref, out_ref, *, shapes, seg_offs, M, P, D,
+                  qblk, precision):
+    """One grid cell = (frame, query-block), all M heads. Blocks:
+    pk [1, qblk, M*3*LP], value [1, S_pad, M*D], out [1, qblk, M*D].
+    Per head the body is `_kernel`'s tent accumulate + per-level matmul."""
+    L = len(shapes)
+    LP = L * P
+    for m in range(M):
+        base = m * 3 * LP
+        out = jnp.zeros((qblk, D), jnp.float32)
+        for l, (H, W) in enumerate(shapes):
+            seg = _pad_to(H * W, LANE)
+            colf, rowf = _level_grids(H, W, seg)
+            acc = jnp.zeros((qblk, seg), jnp.float32)
+            for p in range(P):
+                c = l * P + p
+                x = pk_ref[0, :, base + c : base + c + 1]
+                y = pk_ref[0, :, base + LP + c : base + LP + c + 1]
+                w = pk_ref[0, :, base + 2 * LP + c : base + 2 * LP + c + 1]
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(colf - x))
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(rowf - y))
+                acc = acc + (w * tx) * ty
+            v = value_ref[0, seg_offs[l] : seg_offs[l] + seg, m * D : (m + 1) * D]
+            out = out + jax.lax.dot(acc, v.astype(jnp.float32),
+                                    precision=precision,
+                                    preferred_element_type=jnp.float32)
+        out_ref[0, :, m * D : (m + 1) * D] = out.astype(out_ref.dtype)
+
+
+def _forward_hfuse(value, spatial_shapes, sampling_locations, attention_weights,
+                   precision=jax.lax.Precision.HIGHEST, interpret=False):
+    """Heads-fused forward; returns [B, Lq, M*D] directly (no per-head
+    transposes). Chunks the frame axis so each call's output stays under
+    `_MAX_OUT_BYTES_HF` of axon scoped vmem."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    qblk = _adaptive_qblk(spatial_shapes)
+    pk, value_pad, seg_offs, Lqp = _prep_hfuse(
+        value, spatial_shapes, sampling_locations, attention_weights, qblk
+    )
+    S_pad = value_pad.shape[1]
+    CK = pk.shape[-1]
+
+    bytes_per_b = Lqp * M * D * dtype.itemsize
+    bc = max(1, min(B, _MAX_OUT_BYTES_HF // max(bytes_per_b, 1)))
+    while B % bc:
+        bc -= 1
+
+    kern = functools.partial(
+        _kernel_hfuse, shapes=tuple(spatial_shapes), seg_offs=tuple(seg_offs),
+        M=M, P=P, D=D, qblk=qblk, precision=precision,
+    )
+
+    def call(args):
+        pk_c, val_c = args
+        return pl.pallas_call(
+            kern,
+            grid=(bc, Lqp // qblk),
+            in_specs=[
+                pl.BlockSpec((1, qblk, CK), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, S_pad, M * D), lambda b, q: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qblk, M * D), lambda b, q: (b, q, 0)),
+            out_shape=jax.ShapeDtypeStruct((bc, Lqp, M * D), dtype),
+            interpret=interpret,
+        )(pk_c, val_c)
+
+    inputs = (pk, value_pad)
+    if bc == B:
+        out = call(inputs)
+    else:
+        n = B // bc
+        out = jax.lax.map(
+            call, tuple(x.reshape(n, bc, *x.shape[1:]) for x in inputs)
+        ).reshape(B, Lqp, M * D)
+    return out[:, :Lq]
+
+
 def _precision_for(value):
     # bf16 values: the interpolation matmul runs one native MXU pass
     # (DEFAULT); fp32 values keep HIGHEST for bit-level parity with the
@@ -376,12 +502,13 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for `ops.deform_attn.ms_deform_attn`."""
-    return _forward(value, spatial_shapes, sampling_locations, attention_weights,
-                    precision=_precision_for(value))
+    return _forward_hfuse(value, spatial_shapes, sampling_locations,
+                          attention_weights, precision=_precision_for(value))
 
 
 def _fwd(value, spatial_shapes, loc, w):
-    out = _forward(value, spatial_shapes, loc, w, precision=_precision_for(value))
+    out = _forward_hfuse(value, spatial_shapes, loc, w,
+                         precision=_precision_for(value))
     return out, (value, loc, w)
 
 

@@ -39,6 +39,38 @@ def test_pallas_oob_zero_padding_interpret():
     np.testing.assert_array_equal(out, 0)
 
 
+def test_hfuse_forward_matches_xla_interpret():
+    """The heads-fused production forward (all M heads per grid cell,
+    [B, Lq, M*D] output layout) must match the XLA composition."""
+    from combo_avs_tpu.ops.deform_attn_pallas import _forward_hfuse
+
+    value, loc, w = _inputs(5)
+    ref = np.asarray(xla_version(value, SHAPES, loc, w))
+    out = np.asarray(_forward_hfuse(value, SHAPES, loc, w, interpret=True))
+    assert out.shape == ref.shape == (B, Lq, M * D)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_hfuse_forward_chunked_interpret(monkeypatch):
+    """Frame-axis chunking under the scoped-vmem output cap is exact."""
+    from combo_avs_tpu.ops import deform_attn_pallas as dap
+
+    value, loc, w = _inputs(6)
+    ref = np.asarray(dap._forward_hfuse(value, SHAPES, loc, w, interpret=True))
+    monkeypatch.setattr(dap, "_MAX_OUT_BYTES_HF", 1)  # force 1-frame chunks
+    out = np.asarray(dap._forward_hfuse(value, SHAPES, loc, w, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_hfuse_oob_zero_padding_interpret():
+    from combo_avs_tpu.ops.deform_attn_pallas import _forward_hfuse
+
+    value, loc, w = _inputs(7)
+    loc_oob = np.full_like(loc, -3.0)
+    out = np.asarray(_forward_hfuse(value, SHAPES, loc_oob, w, interpret=True))
+    np.testing.assert_array_equal(out, 0)
+
+
 def test_dispatch_falls_back_on_cpu():
     # tests run on CPU: the dispatcher must route to the XLA composition
     value, loc, w = _inputs(2)
