@@ -427,6 +427,9 @@ def get_cfg() -> CfgNode:
     t.AUG.MIN_SIZES = [128, 224, 384]
     t.AUG.MAX_SIZE = 1536
     t.AUG.FLIP = True
+    # d2 surface: [[task, metric, expected, tolerance], ...] checked by
+    # verify_results after --eval-only (ref: train_net.py:262, pred.py:222)
+    t.EXPECTED_RESULTS = []
 
     return c
 

@@ -232,6 +232,28 @@ def save_prediction_vis(vis_dir: str, video: str, pred: np.ndarray) -> None:
         save_mask_png(os.path.join(vis_dir, f"{video}_{t}.png"), mask, palette)
 
 
+def verify_results(cfg, results: Dict) -> bool:
+    """d2's verify_results: compare metrics against
+    cfg.TEST.EXPECTED_RESULTS = [[task, metric, expected, tolerance], ...]
+    (ref: train_net.py:262, pred.py:222; no shipped config sets it, matching
+    the reference's empty default). Raises on mismatch, like d2."""
+    expected = cfg.TEST.get("EXPECTED_RESULTS", [])
+    if not expected:
+        return True
+    ok = True
+    for task, metric, expected_val, tolerance in expected:
+        actual = results[task][metric]
+        good = abs(actual - expected_val) <= tolerance
+        ok = ok and good
+        logger.info("%s: %s = %.4f (expected %.4f +/- %.4f) %s",
+                    task, metric, actual, expected_val, tolerance,
+                    "OK" if good else "FAILED")
+    if not ok:
+        raise AssertionError(f"Result verification failed: {expected}")
+    logger.info("Results verification passed.")
+    return ok
+
+
 def print_csv_format(results: Dict) -> None:
     """d2 print_csv_format: greppable 'copypaste:' lines per task."""
     for task, metrics in results.items():

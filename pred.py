@@ -73,11 +73,14 @@ def main():
     else:
         raise FileNotFoundError(f"no checkpoint at {ckpt}")
 
+    from combo_avs_tpu.train.trainer import verify_results
+
     all_results = {}
     for dataset in cfg.DATASETS.TEST:
         vis_dir = (os.path.join(cfg.OUTPUT_DIR, "vis", dataset)
                    if args.save_vis else None)
         results = trainer.test(dataset, max_videos=args.max_videos, vis_dir=vis_dir)
+        verify_results(cfg, results)  # ref: pred.py:222
         all_results[dataset] = results["sem_seg"]
         print(dataset, results["sem_seg"])
     return all_results

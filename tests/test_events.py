@@ -41,3 +41,23 @@ def test_tensorboard_writer(tmp_path):
     w.close()
     files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert files, "no tensorboard event file written"
+
+
+def test_verify_results():
+    """d2 verify_results semantics (ref: train_net.py:262): pass within
+    tolerance, raise on mismatch, no-op when EXPECTED_RESULTS is empty."""
+    import pytest
+
+    from combo_avs_tpu.config import get_cfg
+    from combo_avs_tpu.train.trainer import verify_results
+
+    cfg = get_cfg()
+    res = {"sem_seg": {"mIoU": 81.7, "f_score": 90.1}}
+    assert verify_results(cfg, res)  # empty -> no-op
+
+    cfg.TEST.EXPECTED_RESULTS = [["sem_seg", "mIoU", 81.5, 0.5]]
+    assert verify_results(cfg, res)
+
+    cfg.TEST.EXPECTED_RESULTS = [["sem_seg", "mIoU", 70.0, 0.5]]
+    with pytest.raises(AssertionError):
+        verify_results(cfg, res)

@@ -112,6 +112,9 @@ def main():
         if trainer.state is None:
             load_pretrained(cfg, trainer)
         results = trainer.test()
+        from combo_avs_tpu.train.trainer import verify_results
+
+        verify_results(cfg, results)  # ref: train_net.py:262
         print(results)
         return results
 
