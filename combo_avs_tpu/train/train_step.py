@@ -123,6 +123,69 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_tta_eval_step(model, scales, flip: bool, out_size,
+                       bf16: bool = False) -> Callable:
+    """Multi-scale + horizontal-flip test-time augmentation.
+
+    The reference exposes TEST.AUG.{ENABLED,MIN_SIZES,FLIP} and calls
+    Trainer.test_with_TTA (ref: train_net.py:259-260) but never defines it —
+    enabling the flag crashes there. Here it works: each scale (must be
+    divisible by 32) re-runs the forward on resized inputs, semantic
+    probability maps are produced at `out_size`, flipped variants are
+    unflipped, and everything is averaged (d2 SemanticSegmentorWithTTA
+    semantics). One jitted graph holds all scale/flip branches."""
+
+    def _resize_frames(x, s):
+        # x [B, T, H, W, C]
+        B, T, H, W, C = x.shape
+        if (H, W) == (s, s):
+            return x
+        return jax.image.resize(x, (B, T, s, s, C), "bilinear")
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+        )
+
+    def eval_step(params, frozen, batch: Dict):
+        if bf16:
+            params = _cast(params, jnp.bfloat16)
+            frozen = _cast(frozen, jnp.bfloat16)
+            batch = {
+                k: v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
+                for k, v in batch.items()
+            }
+        vt = batch.get("vid_temporal_mask")
+        vt = None if vt is None else vt.reshape(-1)
+        acc = None
+        n = 0
+        for s in scales:
+            for do_flip in ((False, True) if flip else (False,)):
+                imgs = _resize_frames(batch["images"], s)
+                pre = batch.get("pre_masks")
+                pre = None if pre is None else _resize_frames(pre, s)
+                if do_flip:
+                    imgs = imgs[:, :, :, ::-1]
+                    pre = None if pre is None else pre[:, :, :, ::-1]
+                outputs = model.apply(
+                    {"params": params, "frozen": frozen},
+                    imgs, batch["audio_log_mel"], pre,
+                    batch.get("vid_temporal_mask"),
+                )
+                sem = semantic_inference(
+                    outputs["pred_logits"], outputs["pred_masks"],
+                    out_size=out_size, temporal_mask=vt,
+                )  # [N, C, H, W]
+                if do_flip:
+                    sem = sem[..., ::-1]
+                acc = sem if acc is None else acc + sem
+                n += 1
+        return acc / n
+
+    return jax.jit(eval_step)
+
+
 def make_eval_step(model, out_size, bf16: bool = False) -> Callable:
     """Returns per-frame semantic probability maps [B*T, C, H, W].
 

@@ -41,6 +41,7 @@ from combo_avs_tpu.train.train_step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    make_tta_eval_step,
 )
 
 logger = logging.getLogger("COMBO")
@@ -150,7 +151,14 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     bf16 = cfg.TEST.get("BF16", "auto")
     if bf16 == "auto":  # bf16 on accelerators, fp32 on CPU
         bf16 = jax.default_backend() != "cpu"
-    eval_step = make_eval_step(model, out_size=(size, size), bf16=bool(bf16))
+    if cfg.TEST.AUG.ENABLED:
+        # multi-scale + flip TTA (the reference's TEST.AUG surface,
+        # ref: train_net.py:259-260 — unimplemented there)
+        eval_step = make_tta_eval_step(
+            model, scales=list(cfg.TEST.AUG.MIN_SIZES), flip=cfg.TEST.AUG.FLIP,
+            out_size=(size, size), bf16=bool(bf16))
+    else:
+        eval_step = make_eval_step(model, out_size=(size, size), bf16=bool(bf16))
 
     if vis_dir:
         os.makedirs(vis_dir, exist_ok=True)
