@@ -367,7 +367,9 @@ class Trainer:
                 optimizer, schedule = build_optimizer(cfg, self.state.params)
             self.state = replicate(self.state, self.mesh)
             train_step = make_train_step(self.model, self.criterion, self.weight_dict, optimizer, amp=cfg.SOLVER.AMP.ENABLED)
-            key = jax.random.PRNGKey(1234)
+            # dropout/point-sampling stream derives from cfg.SEED (folded per
+            # step inside train_step), so runs are reproducible per seed
+            key = jax.random.fold_in(key0, 1234)
 
             t0 = time.perf_counter()
             for it in range(self.start_iter, max_iter):
