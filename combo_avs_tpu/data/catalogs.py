@@ -147,14 +147,38 @@ def load_avss_records(root: str, split: str, pre_mask_root: str | None = None) -
     return records
 
 
-def register_all(datasets_root: str, use_pre_sam: bool = True):
-    """Register the 9 standard splits given the DETECTRON2_DATASETS-style
-    root (ref gates registration on the env var, register_avss4_sem.py:117-119)."""
-    s4_root = os.path.join(datasets_root, "Single-source", "s4_data")
-    ms3_root = os.path.join(datasets_root, "Multi-sources", "ms3_data")
-    avss_root = os.path.join(datasets_root, "AVSS")
+def _first_dir(*candidates):
+    for c in candidates:
+        if c and os.path.isdir(c):
+            return c
+    return None
 
-    if os.path.isdir(s4_root):
+
+def register_all(datasets_root: str, use_pre_sam: bool = True):
+    """Register the 9 standard splits given a dataset root.
+
+    Accepts BOTH root conventions: one parent containing
+    Single-source/ + Multi-sources/ + AVSS (or AVSBench_semantic), AND the
+    reference's per-benchmark DETECTRON2_DATASETS values that point directly
+    at .../Single-source/, .../Multi-sources/ or .../AVSBench_semantic/
+    (ref: register_avss4_sem.py:117-119, register_avss_sem.py:147-150) — so
+    a reference user's environment works unchanged."""
+    norm = datasets_root.rstrip("/")
+    s4_root = _first_dir(
+        os.path.join(datasets_root, "Single-source", "s4_data"),
+        os.path.join(norm, "s4_data") if norm.endswith("Single-source") else None,
+    )
+    ms3_root = _first_dir(
+        os.path.join(datasets_root, "Multi-sources", "ms3_data"),
+        os.path.join(norm, "ms3_data") if norm.endswith("Multi-sources") else None,
+    )
+    avss_root = _first_dir(
+        os.path.join(datasets_root, "AVSS"),
+        os.path.join(datasets_root, "AVSBench_semantic"),
+        norm if os.path.isfile(os.path.join(norm, "metadata.csv")) else None,
+    )
+
+    if s4_root:
         pre = os.path.join(s4_root, "pre_SAM_mask") if use_pre_sam else None
         for split in ("train", "val", "test"):
             register(
@@ -167,7 +191,7 @@ def register_all(datasets_root: str, use_pre_sam: bool = True):
                     "num_frames": 5,
                 },
             )
-    if os.path.isdir(ms3_root):
+    if ms3_root:
         pre = os.path.join(ms3_root, "pre_SAM_mask") if use_pre_sam else None
         for split in ("train", "val", "test"):
             register(
@@ -180,7 +204,7 @@ def register_all(datasets_root: str, use_pre_sam: bool = True):
                     "num_frames": 5,
                 },
             )
-    if os.path.isdir(avss_root):
+    if avss_root:
         pre = os.path.join(avss_root, "pre_SAM_mask") if use_pre_sam else None
         label2idx_path = os.path.join(avss_root, "label2idx.json")
         classes = list(range(71))

@@ -226,3 +226,26 @@ def test_ssd_color_aug_d2_semantics():
         if t.color_params is not None and t.color_params["hue"] is not None:
             assert isinstance(t.color_params["hue"], int)
             assert -18 <= t.color_params["hue"] <= 18
+
+
+def test_register_all_accepts_reference_root_conventions(tmp_path):
+    """A reference user's DETECTRON2_DATASETS values (.../Single-source/,
+    .../AVSBench_semantic/) register the same splits as the parent-root
+    convention (ref: register_avss4_sem.py:117-119,
+    register_avss_sem.py:147-150)."""
+    from combo_avs_tpu.data import catalogs
+
+    # .../Single-source/ pointing directly at the benchmark
+    ss = tmp_path / "AVSBench_object" / "Single-source"
+    (ss / "s4_data" / "visual_frames" / "train").mkdir(parents=True)
+    catalogs.register_all(str(ss) + "/")
+    assert "avss4_sem_seg_train" in catalogs.DatasetCatalog
+
+    # .../AVSBench_semantic/ with metadata.csv at its top
+    sem = tmp_path / "AVSBench_semantic"
+    sem.mkdir()
+    (sem / "metadata.csv").write_text("uid,label,split\n")
+    (sem / "label2idx.json").write_text("{}")
+    catalogs.register_all(str(sem))
+    assert "avss_sem_seg_train" in catalogs.DatasetCatalog
+    assert catalogs.DatasetCatalog["avss_sem_seg_train"]() == []
