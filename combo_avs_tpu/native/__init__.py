@@ -12,7 +12,7 @@ or programmatically via `build()` (used by the test suite).
 from __future__ import annotations
 
 import glob
-import importlib
+import importlib.util
 import os
 import subprocess
 import sys
@@ -29,7 +29,7 @@ def _find_built():
 
 
 def get_io() -> Optional[object]:
-    """The native module, or None (absent or COMBO_NATIVE_IO=0)."""
+    """The native module, or None (absent, stale, or COMBO_NATIVE_IO=0)."""
     global _cached, _mod
     if os.environ.get("COMBO_NATIVE_IO", "1") == "0":
         return None
@@ -39,6 +39,9 @@ def get_io() -> Optional[object]:
     so = _find_built()
     if so is None:
         return None
+    src = os.path.join(_DIR, "combo_io.cpp")
+    if os.path.exists(src) and os.path.getmtime(so) < os.path.getmtime(src):
+        return None  # stale binary: source edited since the build — rebuild
     spec = importlib.util.spec_from_file_location("_combo_io", so)
     try:
         mod = importlib.util.module_from_spec(spec)

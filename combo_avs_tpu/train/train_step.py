@@ -63,6 +63,21 @@ def _flatten_targets(batch: Dict) -> Dict:
     }
 
 
+
+def _cast_tree(tree, dtype=jnp.bfloat16):
+    """Cast every float32 leaf (params/frozen/activations) to `dtype`."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def _cast_batch(batch: Dict, dtype=jnp.bfloat16) -> Dict:
+    return {
+        k: v.astype(dtype) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
+        for k, v in batch.items()
+    }
+
+
 def make_train_step(
     model,
     criterion: SetCriterion,
@@ -79,17 +94,12 @@ def make_train_step(
     (ref: msdeformattn.py:315 autocast(enabled=False)); here the Pallas
     deformable kernel accumulates in fp32 regardless of input dtype."""
 
-    def _cast(tree, dtype):
-        return jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
-        )
-
     def train_step(state: TrainState, batch: Dict, key):
         kd, km = jax.random.split(jax.random.fold_in(key, state.step))
 
         def loss_fn(params):
-            fwd_params = _cast(params, jnp.bfloat16) if amp else params
-            fwd_frozen = _cast(state.frozen, jnp.bfloat16) if amp else state.frozen
+            fwd_params = _cast_tree(params) if amp else params
+            fwd_frozen = _cast_tree(state.frozen) if amp else state.frozen
             outputs = model.apply(
                 {"params": fwd_params, "frozen": fwd_frozen},
                 batch["images"],
@@ -142,20 +152,11 @@ def make_tta_eval_step(model, scales, flip: bool, out_size,
             return x
         return jax.image.resize(x, (B, T, s, s, C), "bilinear")
 
-    def _cast(tree, dtype):
-        return jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
-        )
-
     def eval_step(params, frozen, batch: Dict):
         if bf16:
-            params = _cast(params, jnp.bfloat16)
-            frozen = _cast(frozen, jnp.bfloat16)
-            batch = {
-                k: v.astype(jnp.bfloat16)
-                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
-                for k, v in batch.items()
-            }
+            params = _cast_tree(params)
+            frozen = _cast_tree(frozen)
+            batch = _cast_batch(batch)
         vt = batch.get("vid_temporal_mask")
         vt = None if vt is None else vt.reshape(-1)
         acc = None
@@ -194,20 +195,11 @@ def make_eval_step(model, out_size, bf16: bool = False) -> Callable:
     TPU-native production inference path. `semantic_inference` (softmax x
     sigmoid + upsample) stays fp32."""
 
-    def _cast(tree, dtype):
-        return jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
-        )
-
     def eval_step(params, frozen, batch: Dict):
         if bf16:
-            params = _cast(params, jnp.bfloat16)
-            frozen = _cast(frozen, jnp.bfloat16)
-            batch = {
-                k: v.astype(jnp.bfloat16)
-                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
-                for k, v in batch.items()
-            }
+            params = _cast_tree(params)
+            frozen = _cast_tree(frozen)
+            batch = _cast_batch(batch)
         outputs = model.apply(
             {"params": params, "frozen": frozen},
             batch["images"],

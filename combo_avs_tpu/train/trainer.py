@@ -191,7 +191,9 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
             evaluator.process(pred, gt)
             if vis_dir:
                 save_prediction_vis(vis_dir, recs[b]["video"], pred)
-        n_frames_total += B * T
+        # count only real videos (not bucket-fill duplicates) so the
+        # reference-format s/iter logs state true per-frame throughput
+        n_frames_total += sum(T for r in recs if not r.get("_pad"))
         t_mark = time.perf_counter()
 
     total = time.perf_counter() - t0
@@ -210,7 +212,8 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     # (ref: sem_seg_evaluation.py:273-277 torch.save; pred.py:183
     # print_csv_format)
     if jax.process_index() == 0 and cfg.OUTPUT_DIR:
-        inference_dir = os.path.join(cfg.OUTPUT_DIR, "inference")
+        # per-dataset folder like d2, so multi-dataset eval doesn't overwrite
+        inference_dir = os.path.join(cfg.OUTPUT_DIR, "inference", dataset_name)
         os.makedirs(inference_dir, exist_ok=True)
         try:
             import torch
@@ -225,18 +228,18 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
 
 
 def save_prediction_vis(vis_dir: str, video: str, pred: np.ndarray) -> None:
-    """Dump one colored PNG per frame. pred [T, C, H, W] class probabilities:
-    binary (C==2) thresholds the foreground at 0.5, semantic takes argmax
-    (ref: the commented vis path, evaluator.py:172-198; palettes from
-    misc/visual.py)."""
+    """Dump one colored PNG per frame. pred [T, C, H, W] class scores:
+    argmax over classes — for C==2 this is exactly the evaluator's decision
+    rule (softmax fg > 0.5 <=> fg score > bg score, metrics.py) so the
+    dumped masks agree with the reported mIoU (ref: the commented vis path,
+    evaluator.py:172-198; palettes from misc/visual.py)."""
     from combo_avs_tpu.evaluation.visual import (
         binary_color_map, save_mask_png, v2_pallete)
 
     T, C = pred.shape[:2]
     palette = binary_color_map() if C <= 2 else v2_pallete(C)
     for t in range(T):
-        mask = ((pred[t, 1] > 0.5).astype(np.int32) if C <= 2
-                else pred[t].argmax(0).astype(np.int32))
+        mask = pred[t].argmax(0).astype(np.int32)
         save_mask_png(os.path.join(vis_dir, f"{video}_{t}.png"), mask, palette)
 
 
@@ -286,9 +289,10 @@ class Trainer:
         self.best_ckpt = BestCheckpointer(cfg.OUTPUT_DIR, metric="mIoU")
         self.metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl")
         # d2-style event storage + writers (SURVEY §5: EventStorage,
-        # metrics.json, TensorBoard)
+        # metrics.json, TensorBoard) — main process only, like d2's
+        # default_writers (multi-host runs share OUTPUT_DIR)
         self.storage = EventStorage()
-        self.writers = [
+        self.writers = [] if jax.process_index() != 0 else [
             JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
             TensorBoardWriter(os.path.join(cfg.OUTPUT_DIR, "tb")),
         ]
@@ -386,8 +390,9 @@ class Trainer:
                         "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter)",
                         it + 1, max_iter, loss, lr, dt,
                     )
-                    with open(self.metrics_file, "a") as f:
-                        f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
+                    if jax.process_index() == 0:
+                        with open(self.metrics_file, "a") as f:
+                            f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
                     self.storage.iter = it + 1
                     self.storage.put_scalars(
                         total_loss=loss, lr=lr,
@@ -401,6 +406,8 @@ class Trainer:
                 if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it + 1 == max_iter:
                     save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(self.state), it + 1)
         loader.close()
+        for w in self.writers:  # flush buffered TensorBoard events
+            w.close()
         return self.state
 
     def _eval_and_track(self, step: int):
@@ -408,8 +415,9 @@ class Trainer:
         improved = self.best_ckpt.update(results, jax.device_get(self.state), step)
         logger.info("eval @ %d: %s%s", step, results["sem_seg"],
                     "  (new best)" if improved else "")
-        with open(self.metrics_file, "a") as f:
-            f.write(json.dumps({"iter": step, **results["sem_seg"]}) + "\n")
+        if jax.process_index() == 0:
+            with open(self.metrics_file, "a") as f:
+                f.write(json.dumps({"iter": step, **results["sem_seg"]}) + "\n")
         self.storage.iter = step
         self.storage.put_scalars(
             **{f"sem_seg/{k}": v for k, v in results["sem_seg"].items()}

@@ -61,17 +61,31 @@ class EventStorage:
 
 
 class JSONWriter:
-    """d2-format metrics.json: one {"iteration": i, ...} dict per line."""
+    """d2-format metrics.json: one {"iteration": i, ...} dict per line.
+
+    Like d2's JSONWriter, only scalars recorded SINCE the previous write are
+    emitted — a metrics row never re-attributes a stale value (e.g. an old
+    eval mIoU) to a later iteration."""
 
     def __init__(self, path: str, window_size: int = 20):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._path = path
         self._window = window_size
+        self._last_write: Dict[str, int] = {}
 
     def write(self, storage: EventStorage) -> None:
+        smoothed = storage.latest_with_smoothing_hint()
+        fresh = {
+            name: (value, it)
+            for name, (value, it) in smoothed.items()
+            if it > self._last_write.get(name, -1)
+        }
+        if not fresh:
+            return
         row = {"iteration": storage.iter}
-        for name, (value, _) in storage.latest_with_smoothing_hint().items():
+        for name, (value, it) in fresh.items():
             row[name] = value
+            self._last_write[name] = it
         with open(self._path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
@@ -80,7 +94,8 @@ class JSONWriter:
 
 
 class TensorBoardWriter:
-    """SummaryWriter-backed scalar writer; no-op when tensorboard is absent."""
+    """SummaryWriter-backed scalar writer; no-op when tensorboard is absent.
+    Each (scalar, iteration) point is emitted once (d2 semantics)."""
 
     def __init__(self, log_dir: str):
         try:
@@ -89,13 +104,17 @@ class TensorBoardWriter:
             self._writer: Optional[object] = SummaryWriter(log_dir=log_dir)
         except Exception:  # pragma: no cover - tensorboard not installed
             self._writer = None
+        self._last_write: Dict[str, int] = {}
 
     def write(self, storage: EventStorage) -> None:
         if self._writer is None:
             return
         for name, (value, it) in storage.latest().items():
-            self._writer.add_scalar(name, value, it)
+            if it > self._last_write.get(name, -1):
+                self._writer.add_scalar(name, value, it)
+                self._last_write[name] = it
 
     def close(self) -> None:
         if self._writer is not None:
+            self._writer.flush()
             self._writer.close()

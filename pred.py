@@ -76,13 +76,16 @@ def main():
     from combo_avs_tpu.train.trainer import verify_results
 
     all_results = {}
+    last = None
     for dataset in cfg.DATASETS.TEST:
         vis_dir = (os.path.join(cfg.OUTPUT_DIR, "vis", dataset)
                    if args.save_vis else None)
-        results = trainer.test(dataset, max_videos=args.max_videos, vis_dir=vis_dir)
-        verify_results(cfg, results)  # ref: pred.py:222
-        all_results[dataset] = results["sem_seg"]
-        print(dataset, results["sem_seg"])
+        last = trainer.test(dataset, max_videos=args.max_videos, vis_dir=vis_dir)
+        all_results[dataset] = last["sem_seg"]
+        print(dataset, last["sem_seg"])
+    # ref: pred.py:222 — EXPECTED_RESULTS tasks key into the single-dataset
+    # result ("sem_seg") or, for multi-dataset runs, into {dataset: metrics}
+    verify_results(cfg, last if len(cfg.DATASETS.TEST) == 1 else all_results)
     return all_results
 
 

@@ -115,7 +115,7 @@ def test_train_cli_end_to_end(cli_env, monkeypatch):
         rows = [json.loads(l) for l in f]
     assert any("mIoU" in r for r in rows)
     assert os.path.exists(
-        os.path.join(out_dir, "inference", "sem_seg_evaluation.pth"))
+        os.path.join(out_dir, "inference", "avss4_sem_seg_val", "sem_seg_evaluation.pth"))
 
 
 def test_pred_cli_end_to_end(cli_env, monkeypatch):

@@ -30,7 +30,13 @@ def test_json_writer_format(tmp_path):
     rows = [json.loads(l) for l in open(path)]
     assert rows[0]["iteration"] == 10 and rows[0]["total_loss"] == 2.5
     assert rows[1]["iteration"] == 20
-    assert rows[1]["lr"] == 1e-4  # carried forward with its smoothed value
+    # d2 semantics: only scalars recorded since the last write are emitted —
+    # a stale lr must NOT be re-attributed to iteration 20
+    assert "lr" not in rows[1]
+    assert rows[1]["total_loss"] == 2.5  # upper median(1.5, 2.5) over the window
+    # nothing new -> no row at all
+    w.write(s)
+    assert len(open(path).readlines()) == 2
 
 
 def test_tensorboard_writer(tmp_path):
