@@ -28,11 +28,19 @@ def main():
         _flatten_targets, create_train_state, make_train_step)
     from combo_avs_tpu.utils.profiling import device_timer
 
-    B = 8
+    tiny = "--tiny" in sys.argv  # CPU smoke of the measurement graphs
+    B = 2 if tiny else 8
     if "--bs" in sys.argv:
         B = int(sys.argv[sys.argv.index("--bs") + 1])
-    T, S, K = 5, 224, 3
-    model = MaskFormer(deterministic=False, num_classes=2)
+    T, S, K = 5, (64 if tiny else 224), 3
+    if tiny:
+        model = MaskFormer(
+            deterministic=False, num_classes=2, backbone_name="tiny_resnet",
+            pre_sam_dim=(32, 64, 128, 256), vggish_width=0.125, hidden_dim=32,
+            nheads=2, dim_feedforward=64, mask_dim=32, conv_dim=32,
+            audio_out_dim=32, dec_layers=2, enc_layers=1, num_queries=8)
+    else:
+        model = MaskFormer(deterministic=False, num_classes=2)
     rng = np.random.RandomState(0)
     batch = {
         "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
