@@ -485,6 +485,148 @@ def _forward_hfuse(value, spatial_shapes, sampling_locations, attention_weights,
     return out[:, :Lq]
 
 
+def _bwd_kernel_hfuse(pk_ref, value_ref, g_ref, dval_ref, dpk_ref, *,
+                      shapes, seg_offs, M, P, D, qblk, precision):
+    """Heads-fused fused backward: one grid cell per (frame, q-block), all M
+    heads. Blocks: pk [1, qblk, M*3*LP] (xs|ys|ws per head, the forward's
+    packed layout), value [1, S_pad, M*D], g [1, qblk, M*D]; outputs
+    dval [1, S_pad, M*D] (accumulated across the query grid axis) and
+    dpk [1, qblk, M*3*LP] (dx|dy|dw in pk's own layout, pixel-space).
+    Per-head math is `_bwd_kernel`'s: GV = g @ V^T on the MXU, per-corner
+    lane reduces for dloc/dweight, dV = A^T @ g."""
+    L = len(shapes)
+    LP = L * P
+    q_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dval_ref[0] = jnp.zeros(dval_ref.shape[1:], dval_ref.dtype)
+
+    for m in range(M):
+        base = m * 3 * LP
+        gout = g_ref[0, :, m * D : (m + 1) * D].astype(jnp.float32)  # [qblk, D]
+        for l, (H, W) in enumerate(shapes):
+            seg = _pad_to(H * W, LANE)
+            v = value_ref[0, seg_offs[l] : seg_offs[l] + seg,
+                          m * D : (m + 1) * D].astype(jnp.float32)
+            GV = jax.lax.dot_general(
+                gout, v, (((1,), (1,)), ((), ())), precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # [qblk, seg]
+            colf, rowf = _level_grids(H, W, seg)
+            accA = jnp.zeros((qblk, seg), jnp.float32)
+            for p in range(P):
+                c = l * P + p
+                x = pk_ref[0, :, base + c : base + c + 1]
+                y = pk_ref[0, :, base + LP + c : base + LP + c + 1]
+                w = pk_ref[0, :, base + 2 * LP + c : base + 2 * LP + c + 1]
+                tcx = colf - x
+                tcy = rowf - y
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(tcx))
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(tcy))
+                prod = tx * ty
+                accA = accA + w * prod
+                dw_col = jnp.sum(prod * GV, axis=1, keepdims=True)
+                dtx = jnp.where(
+                    (tcx > -1.0) & (tcx <= 1.0), jnp.where(tcx > 0.0, 1.0, -1.0), 0.0
+                )
+                dty = jnp.where(
+                    (tcy > -1.0) & (tcy <= 1.0), jnp.where(tcy > 0.0, 1.0, -1.0), 0.0
+                )
+                dx_col = w * jnp.sum((dtx * ty) * GV, axis=1, keepdims=True)
+                dy_col = w * jnp.sum((tx * dty) * GV, axis=1, keepdims=True)
+                dpk_ref[0, :, base + c : base + c + 1] = dx_col.astype(dpk_ref.dtype)
+                dpk_ref[0, :, base + LP + c : base + LP + c + 1] = dy_col.astype(dpk_ref.dtype)
+                dpk_ref[0, :, base + 2 * LP + c : base + 2 * LP + c + 1] = dw_col.astype(dpk_ref.dtype)
+            upd = jax.lax.dot_general(
+                accA, gout, (((0,), (0,)), ((), ())), precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # [seg, D]
+            dval_ref[0, seg_offs[l] : seg_offs[l] + seg,
+                     m * D : (m + 1) * D] += upd.astype(dval_ref.dtype)
+
+
+def _backward_hfuse(value, spatial_shapes, sampling_locations, attention_weights,
+                    g, precision=jax.lax.Precision.HIGHEST, interpret=False):
+    """Heads-fused fused backward; chunks the frame axis under the scoped-
+    vmem output budget (vs 32 sequential per-head calls per layer at the
+    bs8 train shape)."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    LP = L * P
+
+    qblk = _adaptive_qblk(spatial_shapes, n_bufs=2)
+    pk, value_pad, seg_offs, Lqp = _prep_hfuse(
+        value, spatial_shapes, sampling_locations, attention_weights, qblk
+    )
+    S_pad = value_pad.shape[1]
+    CK = pk.shape[-1]
+
+    # cotangent [B, Lq, M*D] -> zero-padded queries
+    gq = g.astype(jnp.float32)
+    if Lqp != Lq:
+        gq = jnp.pad(gq, ((0, 0), (0, Lqp - Lq), (0, 0)))
+
+    bytes_per_b = (S_pad * M * D + Lqp * CK) * 4
+    bc = max(1, min(B, _MAX_OUT_BYTES_HF // max(bytes_per_b, 1)))
+    while B % bc:
+        bc -= 1
+
+    kern = functools.partial(
+        _bwd_kernel_hfuse, shapes=tuple(spatial_shapes), seg_offs=tuple(seg_offs),
+        M=M, P=P, D=D, qblk=qblk, precision=precision,
+    )
+
+    def call(args):
+        pk_c, val_c, g_c = args
+        return pl.pallas_call(
+            kern,
+            grid=(bc, Lqp // qblk),
+            in_specs=[
+                pl.BlockSpec((1, qblk, CK), lambda b, q: (b, q, 0)),
+                pl.BlockSpec((1, S_pad, M * D), lambda b, q: (b, 0, 0)),
+                pl.BlockSpec((1, qblk, M * D), lambda b, q: (b, q, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, S_pad, M * D), lambda b, q: (b, 0, 0)),
+                pl.BlockSpec((1, qblk, CK), lambda b, q: (b, q, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bc, S_pad, M * D), jnp.float32),
+                jax.ShapeDtypeStruct((bc, Lqp, CK), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pk_c, val_c, g_c)
+
+    inputs = (pk, value_pad, gq)
+    if bc == B:
+        dval, dpk = call(inputs)
+    else:
+        n = B // bc
+        dval, dpk = jax.lax.map(
+            call, tuple(x.reshape(n, bc, *x.shape[1:]) for x in inputs)
+        )
+        dval = dval.reshape(B, S_pad, M * D)
+        dpk = dpk.reshape(B, Lqp, CK)
+
+    # ---- dValue: [B, S_pad, M*D] -> [B, S, M, D] (strip level padding) ----
+    parts = []
+    for l, (H, W) in enumerate(spatial_shapes):
+        HW = H * W
+        parts.append(dval[:, seg_offs[l] : seg_offs[l] + HW, :])
+    dvalue = jnp.concatenate(parts, axis=1).reshape(B, S, M, D).astype(value.dtype)
+
+    # ---- dloc / dweights from dpk's (xs|ys|ws per head) layout ----
+    dpk = dpk[:, :Lq].reshape(B, Lq, M, 3, LP)
+    dxs = dpk[:, :, :, 0].reshape(B, Lq, M, L, P)
+    dys = dpk[:, :, :, 1].reshape(B, Lq, M, L, P)
+    dws = dpk[:, :, :, 2].reshape(B, Lq, M, L, P)
+    scale = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+    dloc = jnp.stack([dxs, dys], axis=-1) * scale[None, None, None, :, None, :]
+    return (dvalue, dloc.astype(sampling_locations.dtype),
+            dws.astype(attention_weights.dtype))
+
+
 def _precision_for(value):
     # bf16 values: the interpolation matmul runs one native MXU pass
     # (DEFAULT); fp32 values keep HIGHEST for bit-level parity with the
@@ -514,7 +656,9 @@ def _fwd(value, spatial_shapes, loc, w):
 
 def _bwd(spatial_shapes, res, g):
     value, loc, w = res
-    return _backward(value, spatial_shapes, loc, w, g)
+    # precision stays HIGHEST regardless of dtype, matching `_backward`'s
+    # long-standing default (gradients are accumulated fp32 either way)
+    return _backward_hfuse(value, spatial_shapes, loc, w, g)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

@@ -145,3 +145,46 @@ def test_fused_backward_group_chunking():
         dap._MAX_OUT_BYTES = orig
     for a, b in zip(full, chunked):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hfuse_backward_matches_xla_grads():
+    """The heads-fused backward (the production VJP) matches autodiff of the
+    XLA composition and the per-head `_backward` baseline."""
+    from combo_avs_tpu.ops.deform_attn_pallas import _backward, _backward_hfuse
+
+    value, loc, w = _inputs(8)
+    g = np.random.RandomState(11).randn(B, Lq, M * D).astype(np.float32)
+
+    def f_xla(v, l, a):
+        return (xla_version(v, SHAPES, l, a) * g).sum()
+
+    gv_ref = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    out_h = _backward_hfuse(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w),
+        jnp.asarray(g), interpret=True,
+    )
+    out_v0 = _backward(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w),
+        jnp.asarray(g), interpret=True,
+    )
+    for name, a, b, c in zip("value loc weight".split(), gv_ref, out_h, out_v0):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(c), atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_hfuse_backward_chunked_interpret(monkeypatch):
+    from combo_avs_tpu.ops import deform_attn_pallas as dap
+
+    value, loc, w = _inputs(9)
+    g = np.random.RandomState(12).randn(B, Lq, M * D).astype(np.float32)
+    ref = dap._backward_hfuse(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w),
+        jnp.asarray(g), interpret=True)
+    monkeypatch.setattr(dap, "_MAX_OUT_BYTES_HF", 1)  # force 1-frame chunks
+    out = dap._backward_hfuse(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w),
+        jnp.asarray(g), interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
