@@ -92,3 +92,28 @@ def test_sharded_eval_matches_single_device(eval_env):
     assert set(single["sem_seg"]) == set(sharded["sem_seg"])
     for k, v in single["sem_seg"].items():
         assert np.isclose(v, sharded["sem_seg"][k], atol=1e-6), (k, v, sharded["sem_seg"][k])
+
+
+def test_tta_through_evaluate(eval_env):
+    """TEST.AUG.ENABLED dispatches the TTA step inside evaluate() and
+    produces finite metrics with the same keys."""
+    import jax
+
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.train.trainer import evaluate
+
+    import copy
+
+    cfg = copy.deepcopy(eval_env)
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = [32, 64]
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32),
+        rng.randn(1, 5, 96, 64).astype(np.float32), None)
+    res = evaluate(cfg, model, variables["params"], variables.get("frozen", {}),
+                   "tiny_s4_sh_val")
+    assert {"mIoU", "f_score"} <= set(res["sem_seg"])
+    assert all(np.isfinite(v) for v in res["sem_seg"].values())
