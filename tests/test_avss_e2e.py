@@ -122,3 +122,25 @@ def test_avss_train_and_eval_end_to_end(avss_cfg):
     # the SS evaluator reports per-class-histogram mIoU/F (+ noBg variants)
     assert {"mIoU", "f_score"} <= set(sem)
     assert all(np.isfinite(v) for v in sem.values())
+
+
+def test_avss_v1m_v2_flags(tmp_path):
+    """v1m: 5 real frames, all annotated; v2: 10 frames, all annotated
+    (ref: register_avss_sem.py:35-48)."""
+    import pandas as pd  # noqa: F401  (load_avss_records imports it)
+
+    from combo_avs_tpu.data.catalogs import load_avss_records
+
+    root = tmp_path / "AVSS"
+    root.mkdir()
+    (root / "metadata.csv").write_text(
+        "uid,label,split\nm1,v1m,train\nw1,v2,train\n")
+    for uid, sub in (("m1", "v1m"), ("w1", "v2")):
+        (root / sub / uid).mkdir(parents=True)
+    recs = {r["video"]: r for r in load_avss_records(str(root), "train")}
+    assert recs["m1"]["num_frames"] == 5
+    assert recs["m1"]["gt_temporal_mask_flag"] == [1] * 5
+    assert recs["m1"]["vid_temporal_mask_flag"] == [1] * 5
+    assert recs["w1"]["num_frames"] == 10
+    assert recs["w1"]["gt_temporal_mask_flag"] == [1] * 10
+    assert recs["w1"]["vid_temporal_mask_flag"] == [1] * 10
