@@ -9,8 +9,9 @@ Modes (first JSON line is the driver metric):
                                   #   cosine + AdamW + global clip)
   python bench.py --train --bs N  # other batch sizes
   python bench.py --train --model pvt     # PVTv2-B5 backbone training
-  python bench.py --train --dataset avss  # AVSS: 71 classes, 10 frames,
-                                          #   temporal masks, bf16 AMP
+  python bench.py --train --dataset avss  # AVSS v1s/v1m 5-frame bucket:
+                                          #   71 classes, bf16 AMP, bs8
+  python bench.py --train --dataset avss --frames 10   # AVSS v2 bucket
 
 Runs on ONE real chip with synthetic data (datasets/checkpoints are not
 shipped in this image), and prints a single JSON line.
@@ -158,9 +159,15 @@ def bench_train():
       default            S4 COMBO-R50, bs8 x 5 frames, fp32
                          (ref: configs/avs_s4/COMBO_R50_bs8_90k.yaml)
       --model pvt        S4 COMBO-PVTv2-B5 backbone
-      --dataset avss     AVSS regime: 71 classes, 10 frames, temporal
-                         masks, bf16 AMP (ref: configs/avs_ss/
-                         R50-AVSS-SemanticSegmentation.yaml:44)"""
+      --dataset avss     AVSS regime: 71 classes, temporal masks, bf16 AMP
+                         (ref: configs/avs_ss/R50-AVSS-SemanticSegmentation
+                         .yaml:44). The production loader buckets records by
+                         frame count (catalogs.py: v1s/v1m are 5-frame, v2 is
+                         10-frame), so batches are homogeneous: the default
+                         times the 5-frame v1s bucket, `--frames 10` the v2
+                         bucket. Criterion is built exactly as the Trainer
+                         builds it (cosine_n_frame=5, trainer.py:93) and
+                         targets use the mapper's 12 instance slots."""
     import jax
     import jax.numpy as jnp
 
@@ -175,11 +182,14 @@ def bench_train():
     use_pvt = "pvt" in str(_flag("--model", ""))
     force_amp = bool(_flag("--amp"))  # bf16 AMP for S4 too (TPU-native option;
     # the reference recipe keeps S4/MS3 fp32 and only AVSS enables AMP)
-    B = int(_flag("--bs", 4 if avss else 8))
-    # Kslots: the S4/MS3 mapper pads binary-GT targets to 3 instance slots
-    # (trainer.build_mapper max_instances); AVSS uses up to 8 index labels
-    T = 10 if avss else 5
-    S, Kslots = 224, (8 if avss else 3)
+    B = int(_flag("--bs", 8))  # IMS_PER_BATCH 8 for S4 and AVSS recipes
+    # frame count: production batches are frame-count homogeneous (the AVSS
+    # loader buckets records, catalogs.py:120-127) — v1s/v1m are 5-frame,
+    # v2 is 10-frame; S4/MS3 are always 5-frame
+    T = int(_flag("--frames", 5))
+    # Kslots: instance-slot padding as build_mapper sets it (trainer.py:54) —
+    # 3 slots for binary-GT S4/MS3, 12 for AVSS index labels
+    S, Kslots = 224, (12 if avss else 3)
     num_classes = 71 if avss else 2
     amp = avss or force_amp  # reference enables AMP only for AVSS
     LOOP = 4
@@ -199,11 +209,12 @@ def bench_train():
         "valid": np.zeros((B, T, Kslots), bool),
     }
     if avss:
-        # v1s-style: 5 real frames of 10, first frame annotated
-        batch["vid_temporal_mask"] = np.tile(
-            np.array([1.0] * 5 + [0.0] * 5, np.float32), (B, 1))
-        batch["gt_temporal_mask"] = np.tile(
-            np.array([1.0] + [0.0] * 9, np.float32), (B, 1))
+        # bucketed batches, all frames real (vid mask all ones): the default
+        # T=5 is the v1s/v1m bucket (v1s train has first frame annotated,
+        # catalogs.py:120-122); T=10 is the v2 bucket (all annotated)
+        batch["vid_temporal_mask"] = np.ones((B, T), np.float32)
+        gt = [1.0] + [0.0] * (T - 1) if T == 5 else [1.0] * T
+        batch["gt_temporal_mask"] = np.tile(np.array(gt, np.float32), (B, 1))
     else:
         batch["gt_temporal_mask"] = np.tile(
             np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)
@@ -214,7 +225,7 @@ def bench_train():
     cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
     matcher = HungarianMatcher()
     criterion = SetCriterion(num_classes=num_classes, matcher=matcher,
-                             cosine_n_frame=T)
+                             cosine_n_frame=5)  # trainer.py:93: always 5
     cfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
     wd = build_weight_dict(cfg)
 
