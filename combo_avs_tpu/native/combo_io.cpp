@@ -111,7 +111,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jmp, 1);
 }
 
-bool decode_jpeg(FILE* f, Decoded& out) {
+bool decode_jpeg(FILE* f, Decoded& out, bool gray = false) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -124,14 +124,17 @@ bool decode_jpeg(FILE* f, Decoded& out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  // gray: let libjpeg emit luminance directly (JCS_GRAYSCALE), matching
+  // cv2.IMREAD_GRAYSCALE bit-for-bit — decoding RGB then applying BT.601
+  // host-side differs by +-1 (ADVICE r3)
+  cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out.h = (int)cinfo.output_height;
   out.w = (int)cinfo.output_width;
-  out.c = 3;
-  out.data.resize((size_t)out.h * out.w * 3);
+  out.c = gray ? 1 : 3;
+  out.data.resize((size_t)out.h * out.w * out.c);
   while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* row = out.data.data() + (size_t)cinfo.output_scanline * out.w * 3;
+    unsigned char* row = out.data.data() + (size_t)cinfo.output_scanline * out.w * out.c;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -150,7 +153,7 @@ bool decode_file(const std::string& path, bool gray, Decoded& out) {
   if (n >= 4 && magic[0] == 0x89 && magic[1] == 'P') {
     ok = decode_png(f, out);
   } else if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, gray);
   } else {
     out.error = "unknown image format: " + path;
   }

@@ -144,6 +144,11 @@ def make_tta_eval_step(model, scales, flip: bool, out_size,
     probability maps are produced at `out_size`, flipped variants are
     unflipped, and everything is averaged (d2 SemanticSegmentorWithTTA
     semantics). One jitted graph holds all scale/flip branches."""
+    for s in scales:
+        if s % 32:
+            raise ValueError(
+                f"TEST.AUG.MIN_SIZES entries must be divisible by 32 (the "
+                f"backbone stride), got {s} in {list(scales)}")
 
     def _resize_frames(x, s):
         # x [B, T, H, W, C]

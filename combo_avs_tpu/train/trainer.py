@@ -135,9 +135,12 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     if process_count > 1:
         mesh = None  # multi-host eval shards RECORDS per host (above); the
         # per-chip batch sharding below is the single-host fan-out
-    if mesh is not None and mesh.size > batch_size:
-        batch_size = mesh.size
+    if mesh is not None and mesh.size > 1:
+        # round UP to a multiple of the mesh so shard_batch always divides
+        # (batch_size=3 on 2 chips -> 4), growing to >=1 video per chip
+        batch_size = -(-max(batch_size, mesh.size) // mesh.size) * mesh.size
     if batch_size > 1:  # pad each frame-count bucket to full batches
+        n_real = len(records)
         by_t: Dict[int, list] = {}
         for r in records:
             by_t.setdefault(r["num_frames"], []).append(r)
@@ -145,6 +148,12 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
         for _, recs in sorted(by_t.items()):
             pad = (-len(recs)) % batch_size
             records.extend(recs + [dict(recs[-1], _pad=True)] * pad)
+        if len(records) > n_real:
+            logger.info(
+                "Eval fan-out padding: %d duplicate videos of %d total (%.1f%% "
+                "of compute) to fill batch_size=%d buckets",
+                len(records) - n_real, len(records),
+                100.0 * (len(records) - n_real) / len(records), batch_size)
     mapper = build_mapper(cfg, is_train=False)
     evaluator = build_evaluator(cfg, dataset_name)
     size = cfg.INPUT.SIZE_DIVISIBILITY if cfg.INPUT.SIZE_DIVISIBILITY > 0 else 224
@@ -162,21 +171,59 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
 
     if vis_dir:
         os.makedirs(vis_dir, exist_ok=True)
+    params_single, frozen_single = params, frozen
     if mesh is not None and mesh.size > 1:
         params, frozen = replicate((params, frozen), mesh)
-    n_frames_total, t_compute, t_data, t0 = 0, 0.0, 0.0, time.perf_counter()
-    t_mark = time.perf_counter()
+
+    def _run_step(batch):
+        """One eval step with the reference's OOM resilience analog
+        (ref: retry_if_cuda_oom, maskformer_model.py:423-433): on TPU
+        RESOURCE_EXHAUSTED, retry the batch one video at a time on the
+        default device — the static-shape equivalent of halving (the
+        singleton recompile is cached after the first fallback batch)."""
+        try:
+            if mesh is not None and mesh.size > 1:
+                with mesh:
+                    return np.asarray(
+                        eval_step(params, frozen, shard_batch(batch, mesh)))
+            return np.asarray(eval_step(params, frozen, batch))
+        except Exception as e:  # jaxlib.XlaRuntimeError has no stable class path
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            B = batch["images"].shape[0]
+            logger.warning(
+                "eval step exhausted device memory at batch_size=%d; "
+                "retrying one video at a time", B)
+            outs = []
+            for b in range(B):
+                single = {k: v[b : b + 1] for k, v in batch.items()}
+                outs.append(np.asarray(
+                    eval_step(params_single, frozen_single, single)))
+            return np.concatenate(outs, axis=0)
+
+    n_videos_total = len(records)
+    n_done, n_frames_total = 0, 0
+    t_compute, t_data, t0 = 0.0, 0.0, time.perf_counter()
+    t_mark = t_log = time.perf_counter()
     for batch, recs in eval_loader(records, mapper, batch_size=batch_size,
                                    with_records=True):
         t_data += time.perf_counter() - t_mark
         tc = time.perf_counter()
-        if mesh is not None and mesh.size > 1:
-            dev_batch = shard_batch(batch, mesh)
-            with mesh:
-                sem = np.asarray(eval_step(params, frozen, dev_batch))
-        else:
-            sem = np.asarray(eval_step(params, frozen, batch))
+        sem = _run_step(batch)
         t_compute += time.perf_counter() - tc
+        n_done += len(recs)
+        # rate-limited progress with ETA, the reference's in-loop log
+        # (ref: evaluator.py:213-226 logs every >=5 s after warmup)
+        now = time.perf_counter()
+        if now - t_log >= 5.0 and n_done < n_videos_total:
+            per_video = (now - t0) / n_done
+            eta = int(per_video * (n_videos_total - n_done))
+            logger.info(
+                "Inference done %d/%d. Dataloading: %.4f s/video. "
+                "Inference: %.4f s/video. Total: %.4f s/video. ETA=%d:%02d:%02d",
+                n_done, n_videos_total, t_data / n_done, t_compute / n_done,
+                per_video, eta // 3600, eta % 3600 // 60, eta % 60)
+            t_log = now
         B, T = batch["images"].shape[:2]
         sem = sem.reshape(B, T, *sem.shape[1:])
         for b in range(B):
@@ -375,61 +422,100 @@ class Trainer:
             # step inside train_step), so runs are reproducible per seed
             key = jax.random.fold_in(key0, 1234)
 
-            t0 = time.perf_counter()
-            for it in range(self.start_iter, max_iter):
-                batch = batch0 if it == self.start_iter else next(loader)
-                batch = shard_batch(batch, self.mesh)
-                self.state, metrics = train_step(self.state, batch, key)
+            # train-time accounting EXCLUDES eval/checkpoint pauses (like
+            # d2's per-iter timer), so the greppable s/iter lines measure
+            # the train step only; n_timed resets with the timer
+            t0, n_timed = time.perf_counter(), 0
+            try:
+                for it in range(self.start_iter, max_iter):
+                    batch = batch0 if it == self.start_iter else next(loader)
+                    batch = shard_batch(batch, self.mesh)
+                    self.state, metrics = train_step(self.state, batch, key)
+                    n_timed += 1
 
-                if (it + 1) % log_every == 0 or it + 1 == max_iter:
-                    loss = float(metrics["total_loss"])
-                    dt = (time.perf_counter() - t0) / log_every
-                    t0 = time.perf_counter()
-                    lr = float(schedule(it))
-                    logger.info(
-                        "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter)",
-                        it + 1, max_iter, loss, lr, dt,
-                    )
-                    if jax.process_index() == 0:
-                        with open(self.metrics_file, "a") as f:
-                            f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
-                    self.storage.iter = it + 1
-                    self.storage.put_scalars(
-                        total_loss=loss, lr=lr,
-                        **{k: float(v) for k, v in metrics.items() if k != "total_loss"},
-                    )
-                    for w in self.writers:
-                        w.write(self.storage)
+                    if (it + 1) % log_every == 0 or it + 1 == max_iter:
+                        loss = float(metrics["total_loss"])
+                        dt = (time.perf_counter() - t0) / max(n_timed, 1)
+                        lr = float(schedule(it))
+                        logger.info(
+                            "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter)",
+                            it + 1, max_iter, loss, lr, dt,
+                        )
+                        if jax.process_index() == 0:
+                            with open(self.metrics_file, "a") as f:
+                                f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
+                        self.storage.iter = it + 1
+                        self.storage.put_scalars(
+                            total_loss=loss, lr=lr,
+                            **{k: float(v) for k, v in metrics.items() if k != "total_loss"},
+                        )
+                        for w in self.writers:
+                            w.write(self.storage)
+                        t0, n_timed = time.perf_counter(), 0
 
-                if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
-                    self._eval_and_track(it + 1)
-                if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it + 1 == max_iter:
-                    save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(self.state), it + 1)
-        loader.close()
-        for w in self.writers:  # flush buffered TensorBoard events
-            w.close()
+                    paused = False
+                    if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                        self._eval_and_track(it + 1)
+                        paused = True
+                    if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it + 1 == max_iter:
+                        save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(self.state), it + 1)
+                        paused = True
+                    if paused:  # don't bill eval/ckpt time to s/iter
+                        t0, n_timed = time.perf_counter(), 0
+            finally:
+                # close on crashes too (the axon relay can die mid-loop),
+                # so buffered TensorBoard events of the run survive
+                loader.close()
+                for w in self.writers:
+                    w.close()
         return self.state
 
     def _eval_and_track(self, step: int):
-        results = self.test()
-        improved = self.best_ckpt.update(results, jax.device_get(self.state), step)
-        logger.info("eval @ %d: %s%s", step, results["sem_seg"],
-                    "  (new best)" if improved else "")
-        if jax.process_index() == 0:
-            with open(self.metrics_file, "a") as f:
-                f.write(json.dumps({"iter": step, **results["sem_seg"]}) + "\n")
-        self.storage.iter = step
-        self.storage.put_scalars(
-            **{f"sem_seg/{k}": v for k, v in results["sem_seg"].items()}
-        )
+        all_results = self.test()
+        if "sem_seg" in all_results:  # single test dataset: un-nest
+            all_results = {self.cfg.DATASETS.TEST[0]: all_results}
+        primary_name = self.cfg.DATASETS.TEST[0]
+        # best-checkpoint tracking follows the FIRST test dataset, like the
+        # reference's BestCheckpointer on its single tracked metric
+        # (ref: models/engine/hooks.py:14-101)
+        improved = self.best_ckpt.update(
+            all_results[primary_name], jax.device_get(self.state), step)
+        multi = len(all_results) > 1
+        for name, results in all_results.items():
+            logger.info("eval @ %d [%s]: %s%s", step, name, results["sem_seg"],
+                        "  (new best)" if improved and name == primary_name else "")
+            if jax.process_index() == 0:
+                with open(self.metrics_file, "a") as f:
+                    row = {"iter": step, **results["sem_seg"]}
+                    if multi:
+                        row["dataset"] = name
+                    f.write(json.dumps(row) + "\n")
+            prefix = f"sem_seg/{name}/" if multi else "sem_seg/"
+            self.storage.iter = step
+            self.storage.put_scalars(
+                **{prefix + k: v for k, v in results["sem_seg"].items()}
+            )
         for w in self.writers:
             w.write(self.storage)
-        return results
+        return all_results[primary_name]
 
     def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None,
              vis_dir: Optional[str] = None):
-        name = dataset_name or self.cfg.DATASETS.TEST[0]
+        """Evaluate one dataset (returns its results dict), or — with no
+        dataset_name — ALL of cfg.DATASETS.TEST like d2's DefaultTrainer.test
+        (ref: train_net.py:82-101 + d2 defaults.py), returning
+        {dataset: results} when there are several."""
         params = self.state.params
         frozen = self.state.frozen
-        return evaluate(self.cfg, self.eval_model, params, frozen, name,
-                        max_videos=max_videos, vis_dir=vis_dir, mesh=self.mesh)
+        if dataset_name is not None:
+            return evaluate(self.cfg, self.eval_model, params, frozen,
+                            dataset_name, max_videos=max_videos,
+                            vis_dir=vis_dir, mesh=self.mesh)
+        results = {
+            name: evaluate(self.cfg, self.eval_model, params, frozen, name,
+                           max_videos=max_videos, vis_dir=vis_dir, mesh=self.mesh)
+            for name in self.cfg.DATASETS.TEST
+        }
+        if len(results) == 1:
+            return next(iter(results.values()))
+        return results

@@ -73,6 +73,51 @@ def test_full_model_parity_via_converter():
     assert len(out["middles_attn_mask"]) == len(tout["middles_attn_mask"]) == DEC
 
 
+def test_full_model_parity_float64():
+    """Converter parity at float64 (VERDICT r3 #8): tight enough to expose
+    systematic converter drift that 5e-3-at-fp32 on random weights could
+    hide. Both sides start from the SAME fp32 weights, exactly cast to f64,
+    so any residual is converter-mapping or model-math error.
+
+    Tolerance is 1e-4 (50x tighter than the fp32 test), not 1e-6: both
+    implementations compute positional-encoding/reference-point constants
+    in float32 by design (position_encoding.py, pixel_decoder.py:157-158 —
+    matching the reference's fp32 buffers), and those ~1e-7 constant
+    differences amplify to ~4e-5 at the logits through 2 decoder layers.
+    Converter drift (a wrong scale/transpose/rename) produces errors orders
+    of magnitude past this."""
+    tm = randomize(ComboTorch(num_queries=Q, enc_layers=ENC, dec_layers=DEC))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tm = tm.double()
+
+    rng = np.random.RandomState(2)
+    B, T, S = 1, 1, 64
+    images = (rng.rand(B, T, S, S, 3) * 255).astype(np.float64)
+    mel = rng.randn(B, T, 96, 64).astype(np.float64)
+    pre = (rng.rand(B, T, S, S, 3) * 255).astype(np.float64)
+
+    model = MaskFormer(dec_layers=DEC, enc_layers=ENC, num_queries=Q)
+    variables = convert_combo_checkpoint(sd, backbone="resnet",
+                                         dec_layers=DEC, enc_layers=ENC)
+    variables = jax.tree.map(lambda x: np.asarray(x, np.float64), variables)
+    with jax.enable_x64(True):
+        out = jax.jit(model.apply)(variables, images, mel, pre)
+        out = jax.tree.map(np.asarray, out)
+
+    with torch.no_grad():
+        tout = tm(
+            torch.from_numpy(images[0].transpose(0, 3, 1, 2)),
+            torch.from_numpy(mel.reshape(B * T, 1, 96, 64)),
+            torch.from_numpy(pre[0].transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(
+        out["pred_logits"], tout["pred_logits"].numpy(), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        out["pred_masks"], tout["pred_masks"].numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_full_model_parity_via_converter_pvt():
     """Same e2e converter check through the PVTv2 path: true B5 channel
     widths (64/128/320/512, heads 1/2/5/8, sr 8/4/2/1), reduced depths

@@ -83,6 +83,18 @@ def test_jpeg_close_to_cv2(io_mod, imgs):
     assert np.abs(out.astype(int) - cv.astype(int)).max() <= 2
 
 
+def test_jpeg_gray_matches_cv2(io_mod, imgs):
+    # gray JPEG decode goes through libjpeg's JCS_GRAYSCALE output, exactly
+    # like cv2.IMREAD_GRAYSCALE (ADVICE r3: RGB-then-BT.601 differed by +-1,
+    # which a downstream `// 255` binarization would corrupt)
+    d, _, _ = imgs
+    out = io_mod.decode(str(d / "c.jpg"), gray=True)
+    cv = cv2.imread(str(d / "c.jpg"), cv2.IMREAD_GRAYSCALE)
+    assert out.shape == cv.shape
+    # same system libjpeg -> expected exact; keep +-1 for foreign builds
+    assert np.abs(out.astype(int) - cv.astype(int)).max() <= 1
+
+
 def test_decode_batch_order_and_threads(io_mod, imgs):
     d, color, gray = imgs
     paths = [str(d / "c.png"), str(d / "g.png")] * 5

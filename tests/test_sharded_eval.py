@@ -94,6 +94,69 @@ def test_sharded_eval_matches_single_device(eval_env):
         assert np.isclose(v, sharded["sem_seg"][k], atol=1e-6), (k, v, sharded["sem_seg"][k])
 
 
+def test_batch_size_rounds_up_to_mesh(eval_env):
+    """A batch_size not divisible by the mesh rounds UP (3 on 2 chips -> 4)
+    instead of crashing in shard_batch (ADVICE r3), with identical metrics."""
+    import jax
+
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.parallel.mesh import make_mesh
+    from combo_avs_tpu.train.trainer import evaluate
+
+    cfg = eval_env
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32),
+        rng.randn(1, 5, 96, 64).astype(np.float32), None)
+    params, frozen = variables["params"], variables.get("frozen", {})
+    single = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val")
+    mesh2 = make_mesh(2)
+    rounded = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val",
+                       batch_size=3, mesh=mesh2)
+    for k, v in single["sem_seg"].items():
+        assert np.isclose(v, rounded["sem_seg"][k], atol=1e-6)
+
+
+def test_eval_oom_fallback_splits_batch(eval_env, monkeypatch):
+    """RESOURCE_EXHAUSTED during a batched eval step falls back to one video
+    at a time (the reference's retry_if_cuda_oom analog,
+    ref: maskformer_model.py:423-433) and still yields identical metrics."""
+    import jax
+
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.train import trainer as trainer_mod
+
+    cfg = eval_env
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32),
+        rng.randn(1, 5, 96, 64).astype(np.float32), None)
+    params, frozen = variables["params"], variables.get("frozen", {})
+    single = trainer_mod.evaluate(cfg, model, params, frozen, "tiny_s4_sh_val")
+
+    real_make = trainer_mod.make_eval_step
+
+    def oom_make(*args, **kwargs):
+        step = real_make(*args, **kwargs)
+
+        def oom_step(p, f, batch):
+            if batch["images"].shape[0] > 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory (test)")
+            return step(p, f, batch)
+
+        return oom_step
+
+    monkeypatch.setattr(trainer_mod, "make_eval_step", oom_make)
+    fallback = trainer_mod.evaluate(cfg, model, params, frozen,
+                                    "tiny_s4_sh_val", batch_size=2)
+    for k, v in single["sem_seg"].items():
+        assert np.isclose(v, fallback["sem_seg"][k], atol=1e-6)
+
+
 def test_tta_through_evaluate(eval_env):
     """TEST.AUG.ENABLED dispatches the TTA step inside evaluate() and
     produces finite metrics with the same keys."""

@@ -68,3 +68,14 @@ def test_tta_flip_and_scales_shape_and_range(model_and_vars):
     tta1 = make_tta_eval_step(model, scales=[S], flip=True, out_size=(S, S))
     o = np.asarray(tta1(params, frozen, sym))
     np.testing.assert_allclose(o, o[..., ::-1], atol=1e-4)
+
+
+def test_tta_rejects_unaligned_scales(model_and_vars):
+    """MIN_SIZES entries must be divisible by the backbone stride (32); a bad
+    config fails with a clear message at step-construction time instead of an
+    opaque shape error deep in the backbone (ADVICE r3)."""
+    from combo_avs_tpu.train.train_step import make_tta_eval_step
+
+    model, _, _ = model_and_vars
+    with pytest.raises(ValueError, match="MIN_SIZES"):
+        make_tta_eval_step(model, scales=[65], flip=False, out_size=(64, 64))
