@@ -1,0 +1,159 @@
+"""Round-4 gate: exercise the Pallas kernels UNDER SHARDING on the real chip.
+
+The CPU 8-device dryrun and all sharded tests dispatch the XLA composition
+(ops/deform_attn_pallas.py picks Pallas only on TPU), so how XLA partitions
+around the custom calls on a TPU mesh was unobserved (VERDICT r3 weak #7).
+This runs, at PRODUCTION width on a 1-device TPU mesh:
+
+  1. the exact `evaluate(mesh=...)` fan-out path on a synthetic S4 val tree
+     (drives the heads-fused deform kernel + the fused semantic-inference
+     kernel inside a mesh-sharded jit), asserting metrics equal the
+     unsharded pass;
+  2. one jit-sharded production train step (fwd+bwd through the heads-fused
+     backward) with state replicated and batch sharded on the mesh,
+     asserting losses match the unsharded step.
+
+Run ON THE CHIP, one process at a time:  python scripts/r4_sharded_onchip.py
+"""
+
+import pickle
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+S = 224
+
+
+def make_s4_tree(root):
+    import cv2
+    import torch
+
+    rng = np.random.RandomState(1)
+    for vid in ("v1", "v2"):
+        fdir = root / "visual_frames" / "val" / "cat" / vid
+        mdir = root / "gt_masks" / "val" / "cat" / vid
+        adir = root / "audio_log_mel" / "val" / "cat"
+        fdir.mkdir(parents=True)
+        mdir.mkdir(parents=True)
+        adir.mkdir(parents=True, exist_ok=True)
+        for i in range(5):
+            img = rng.randint(0, 255, (S, S, 3), np.uint8)
+            cv2.imwrite(str(fdir / f"{vid}_{i + 1}.png"), img)
+            m = np.zeros((S, S), np.uint8)
+            m[:, : S // 2] = 255
+            cv2.imwrite(str(mdir / f"{vid}_{i + 1}.png"), m)
+        with open(adir / f"{vid}.pkl", "wb") as f:
+            pickle.dump(torch.randn(5, 1, 96, 64), f)
+
+
+def main():
+    import pathlib
+
+    import jax
+
+    from combo_avs_tpu.config import get_cfg
+    from combo_avs_tpu.data.catalogs import load_avss4_records, register
+
+    assert jax.default_backend() != "cpu", "must run on the real chip"
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="r4_sharded_"))
+    make_s4_tree(tmp)
+    register(
+        "r4_s4_val",
+        lambda: load_avss4_records(str(tmp), "val", None),
+        {"stuff_classes": ["background", "object"], "ignore_label": 255,
+         "evaluator_type": "sem_seg", "num_frames": 5},
+    )
+
+    cfg = get_cfg()  # production COMBO-R50 width
+    cfg.INPUT.SIZE_DIVISIBILITY = S
+    cfg.DATASETS.TEST = ("r4_s4_val",)
+    cfg.TEST.BF16 = True  # the production TPU inference path
+    cfg.OUTPUT_DIR = ""
+
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from combo_avs_tpu.train.trainer import evaluate
+
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    init_imgs = (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32)
+    init_mel = rng.randn(1, 5, 96, 64).astype(np.float32)
+    init_pre = (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), init_imgs, init_mel, init_pre)
+    params, frozen = variables["params"], variables.get("frozen", {})
+
+    print("=== 1. evaluate(): unsharded vs 1-device TPU mesh ===", flush=True)
+    single = evaluate(cfg, model, params, frozen, "r4_s4_val")
+    mesh = make_mesh(1)
+    sharded = evaluate(cfg, model, params, frozen, "r4_s4_val", mesh=mesh)
+    ok = True
+    for k, v in single["sem_seg"].items():
+        sv = sharded["sem_seg"][k]
+        good = np.isclose(v, sv, atol=1e-5)
+        ok &= bool(good)
+        print(f"  {k}: single {v:.6f}  mesh {sv:.6f}  {'OK' if good else 'FAIL'}",
+              flush=True)
+
+    print("=== 2. production train step: unsharded vs mesh-sharded ===", flush=True)
+    from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict
+    from combo_avs_tpu.losses.matcher import HungarianMatcher
+    from combo_avs_tpu.train.optim import build_optimizer
+    from combo_avs_tpu.train.train_step import create_train_state, make_train_step
+
+    B, T, K = 2, 5, 3
+    batch = {
+        "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "audio_log_mel": rng.randn(B, T, 96, 64).astype(np.float32),
+        "pre_masks": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "labels": rng.randint(0, 2, (B, T, K)).astype(np.int32),
+        "masks": (rng.rand(B, T, K, S, S) > 0.5).astype(np.float32),
+        "valid": np.zeros((B, T, K), bool),
+        "gt_temporal_mask": np.tile(
+            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)),
+    }
+    batch["valid"][:, :, :2] = True
+
+    tcfg = get_cfg()
+    tcfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    tcfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
+    tmodel = build_model(tcfg, deterministic=False)
+    criterion = SetCriterion(num_classes=2, matcher=HungarianMatcher(),
+                             cosine_n_frame=5)
+    wd = build_weight_dict(tcfg)
+    tvars = jax.jit(tmodel.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"], None)
+    optimizer, _ = build_optimizer(tcfg, tvars["params"])
+    state = create_train_state(tmodel, optimizer, batch, jax.random.PRNGKey(0),
+                               variables=tvars)
+    step = make_train_step(tmodel, criterion, wd, optimizer, donate=False)
+    key = jax.random.PRNGKey(7)
+
+    _, m_single = step(state, jax.device_put(batch), key)
+    m_single = {k: float(v) for k, v in m_single.items()}
+
+    with mesh:
+        sstate = replicate(state, mesh)
+        sbatch = shard_batch(batch, mesh)
+        _, m_mesh = step(sstate, sbatch, key)
+    m_mesh = {k: float(v) for k, v in m_mesh.items()}
+    for k in ("total_loss", "loss_ce", "loss_mask", "loss_dice"):
+        if k not in m_single:
+            continue
+        a, b = m_single[k], m_mesh[k]
+        good = np.isclose(a, b, rtol=1e-4, atol=1e-5)
+        ok &= bool(good)
+        print(f"  {k}: single {a:.6f}  mesh {b:.6f}  {'OK' if good else 'FAIL'}",
+              flush=True)
+
+    print("SHARDED_ONCHIP", "PASS" if ok else "FAIL", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
