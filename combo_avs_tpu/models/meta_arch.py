@@ -183,23 +183,14 @@ def semantic_inference(
     The [N, Q, H, W] upsampled-mask intermediate dominates eval HBM traffic
     (Q=100 at 224^2 is 400 MB fp32 per 20-frame batch); it is kept in the
     input dtype (bf16 on the production eval path) and only the Q-contracted
-    [N, C, H, W] output is fp32. On TPU, small-C shapes (S4/MS3 binary eval)
-    route through the fused Pallas kernel (`ops/seminf_pallas.py`) that never
-    materializes that intermediate."""
+    [N, C, H, W] output is fp32. Measured alternatives that do NOT pay on
+    v5e (scripts/exp_eval_secondary.py, r4): a fused Pallas kernel that skips
+    the HBM intermediate entirely (`ops/seminf_pallas.py`, 0.87x — per-query
+    MXU ops too small) and explicit einsum resizes (0.71x) — XLA's native
+    resize lowering wins, so this stays the production form."""
     cls = jax.nn.softmax(mask_cls.astype(jnp.float32), axis=-1)[..., :-1]
     if out_size is not None:
-        from combo_avs_tpu.ops.seminf_pallas import seminf_fits, seminf_pallas
-
-        N, Q, h, w = mask_pred.shape
-        C = cls.shape[-1]
-        if (
-            jax.devices()[0].platform == "tpu"
-            and seminf_fits(Q, C, h, w, *out_size)
-        ):
-            sem = seminf_pallas(cls, mask_pred, out_size)
-            if temporal_mask is not None:
-                sem = sem * temporal_mask[:, None, None, None]
-            return sem.astype(jnp.float32)
+        N, Q = mask_pred.shape[:2]
         mask_pred = jax.image.resize(mask_pred, (N, Q, *out_size), "bilinear")
     sem = jnp.einsum("nqc,nqhw->nchw", cls, jax.nn.sigmoid(mask_pred),
                      preferred_element_type=jnp.float32)

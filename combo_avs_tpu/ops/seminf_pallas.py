@@ -1,12 +1,21 @@
 """Fused semantic-inference Pallas kernel: bilinear mask upsample + sigmoid
 + per-class contraction without the [N, Q, H, W] HBM intermediate.
 
-Why: `semantic_inference` (softmax(cls)[..,:-1] x sigmoid(resize(mask)), ref:
-models/maskformer_model.py:397-402,460-471) is the eval-step tail. The XLA
-form materializes the Q=100 upsampled masks — [20, 100, 224, 224] bf16 is
-200 MB written + re-read per eval batch, ~1.35 ms of a 28.5 ms step
-(docs/PROFILE_r3.md). The contraction output [N, C, H, W] is 100x smaller
-(C=2 for S4/MS3), so the op is pure HBM-bandwidth waste.
+STATUS: measured variant, NOT production. On-chip (r4,
+scripts/exp_eval_secondary.py) this kernel runs 0.87x the XLA form at the
+production S4 eval shape — the per-query [h,w]@[w,W] / [H,h]@[h,W] matmuls
+are too small to feed the MXU, and the 100-iteration fori serialization
+costs more than the 400 MB HBM round-trip it avoids (explicit-einsum resize
+measured 0.71x). `meta_arch.semantic_inference` therefore keeps
+jax.image.resize. Kept because it is parity-proven on real Mosaic and is the
+repo's reference for two Mosaic rules (see below and CLAUDE.md).
+
+Why it was tried: `semantic_inference` (softmax(cls)[..,:-1] x
+sigmoid(resize(mask)), ref: models/maskformer_model.py:397-402,460-471) is
+the eval-step tail. The XLA form materializes the Q=100 upsampled masks —
+[20, 100, 224, 224] bf16 is 200 MB written + re-read per eval batch,
+~1.35-1.9 ms of a ~28.5 ms step (docs/PROFILE_r3.md). The contraction output
+[N, C, H, W] is 100x smaller (C=2 for S4/MS3).
 
 How: bilinear resize is separable and linear, so per video-frame n
 
@@ -15,15 +24,18 @@ How: bilinear resize is separable and linear, so per video-frame n
 with the per-axis interpolation matrices A_h [H, h], A_w [W, w] extracted
 EXACTLY from `jax.image.resize` by resizing identity matrices (captures the
 edge renormalization too). The kernel holds one frame's [Q, h, w] mask stack
-in VMEM (~630 KB bf16 at 56^2), does the W-contraction as ONE [Q*h, w] @
-[w, W] MXU matmul, then per query one [H, h] @ [h, W] MXU matmul + sigmoid
-+ C fused multiply-adds into a [C, H, W] accumulator. Only the small output
-ever reaches HBM.
+in VMEM (~630 KB bf16 at 56^2) and, per query, runs two MXU matmuls
+([h, w] @ [w, W] then [H, h] @ [h, W]) + sigmoid + C multiply-adds into
+per-class [H, W] accumulators carried through the fori loop. Only the small
+output ever reaches HBM.
 
-Layouts (CLAUDE.md rules): kernel bodies stay 2D/3D with the long axis on
-lanes; the [Q, h, w] -> [Q*h, w] view keeps the minor dim; dynamic slices
-ride sublanes at q*h offsets (h % 8 == 0). cls rows are pre-spread to a
-[Q, 8, Cp] layout so the per-q slice offset is a sublane-tile multiple.
+Mosaic rules this kernel obeys (CLAUDE.md): bodies stay 2D; dynamic slicing
+happens ONLY on refs via ref[pl.dslice(...)] (lax.dynamic_slice on in-register
+values is an unimplemented TPU-lowering primitive — interpret mode accepts
+it, real Mosaic rejects); the class weights ride SMEM so `cls[0, q, c]` is a
+true scalar (a [1, 1] vector x [H, W] multiply would need a
+both-sublanes-and-lanes broadcast, also rejected); accumulators are a tuple
+of 2D values (no .at[] updates).
 
 Used for small C only (S4/MS3 binary eval, C <= _MAX_C); AVSS' C=71 keeps
 the XLA einsum whose Q-contraction already rides the MXU efficiently.
@@ -36,6 +48,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _MAX_C = 8  # per-query scalar FMA loop; large C wants the XLA matmul instead
 _MAX_OUT_BYTES = 4 * 1024 * 1024  # axon scoped-vmem cap convention (see
@@ -52,34 +65,34 @@ def resize_matrix(n_in: int, n_out: int, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _kernel(cls_ref, mask_ref, ah_ref, awt_ref, out_ref, *, Q, C, h, w, H, W):
-    # one [Q*h, w] @ [w, W] MXU contraction for the whole frame's W-resize
-    mask2d = mask_ref[0].reshape(Q * h, w)
-    yt = jax.lax.dot(
-        mask2d.astype(jnp.float32), awt_ref[...],
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
-    )  # [Q*h, W]
-    ah = ah_ref[...]  # [H, h]
+    # Mosaic rules: dynamic slicing only on REFS (ref[pl.dslice(...)]);
+    # lax.dynamic_slice on in-register values is unimplemented. The class
+    # weights live in SMEM so `cls_ref[0, q, c]` is a true scalar read —
+    # a [1, 1] vector times [H, W] would need a both-dims broadcast, which
+    # Mosaic also rejects ("Broadcast in both sublanes and lanes").
+    ah = ah_ref[...].astype(jnp.float32)  # [H, h]
+    awt = awt_ref[...].astype(jnp.float32)  # [w, W]
 
-    def body(q, acc):
-        ytq = jax.lax.dynamic_slice(yt, (q * h, 0), (h, W))
+    def body(q, accs):
+        m = mask_ref[0, pl.dslice(q, 1)]  # [1, h, w]
+        ytq = jax.lax.dot(m[0].astype(jnp.float32), awt,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)  # [h, W]
         z = jax.lax.dot(ah, ytq, precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)  # [H, W]
         s = jax.nn.sigmoid(z)
-        clsq = jax.lax.dynamic_slice(cls_ref[0], (q * 8, 0), (8, cls_ref.shape[-1]))
-        row = clsq[0:1, :]  # [1, Cp]; values live in lane c
-        for c in range(C):
-            acc = acc.at[c].add(row[:, c : c + 1] * s)
-        return acc
+        return tuple(a + cls_ref[0, q, c] * s for c, a in enumerate(accs))
 
-    acc0 = jnp.zeros((C, H, W), jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, Q, body, acc0)
+    acc0 = tuple(jnp.zeros((H, W), jnp.float32) for _ in range(C))
+    accs = jax.lax.fori_loop(0, Q, body, acc0)
+    for c in range(C):
+        out_ref[0, c] = accs[c]
 
 
 def seminf_fits(Q: int, C: int, h: int, w: int, H: int, W: int) -> bool:
     """Shape gate for the fused kernel (upsample-direction, VMEM budget,
     sublane-aligned per-query slicing)."""
-    vmem = Q * h * w * 2 + Q * h * W * 4 + (C + 3) * H * W * 4
+    vmem = Q * h * w * 2 + (C + 3) * H * W * 4 + h * W * 4
     return (
         C <= _MAX_C
         and h % 8 == 0
@@ -109,12 +122,7 @@ def seminf_pallas(
     ah = ah.astype(mask.dtype)
     awt = awt.astype(mask.dtype)
 
-    # spread cls rows to [Q, 8, Cp]: row q lives at sublane q*8, so the
-    # kernel's dynamic slice offset is always a sublane-tile multiple
-    Cp = ((C + 127) // 128) * 128
-    cls_sp = jnp.zeros((N, Q, 8, Cp), jnp.float32)
-    cls_sp = cls_sp.at[:, :, 0, :C].set(cls_sm.astype(jnp.float32))
-    cls_sp = cls_sp.reshape(N, Q * 8, Cp)
+    cls_f = cls_sm.astype(jnp.float32)  # [N, Q, C] -> SMEM scalars
 
     gc = max(1, min(N, _MAX_OUT_BYTES // (C * H * W * 4)))
     while N % gc:
@@ -128,7 +136,8 @@ def seminf_pallas(
             kern,
             grid=(gc,),
             in_specs=[
-                pl.BlockSpec((1, Q * 8, Cp), lambda g: (g, 0, 0)),
+                pl.BlockSpec((1, Q, C), lambda g: (g, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, Q, h, w), lambda g: (g, 0, 0, 0)),
                 pl.BlockSpec((H, h), lambda g: (0, 0)),
                 pl.BlockSpec((w, W), lambda g: (0, 0)),
@@ -139,10 +148,10 @@ def seminf_pallas(
         )(cls_c, mask_c, ah, awt)
 
     if gc == N:
-        return call((cls_sp, mask))
+        return call((cls_f, mask))
     nchunk = N // gc
     return jax.lax.map(
         call,
-        (cls_sp.reshape(nchunk, gc, Q * 8, Cp),
+        (cls_f.reshape(nchunk, gc, Q, C),
          mask.reshape(nchunk, gc, Q, h, w)),
     ).reshape(N, C, H, W)
