@@ -35,9 +35,11 @@ def make_s4_tree(root):
     for vid in ("v1", "v2"):
         fdir = root / "visual_frames" / "val" / "cat" / vid
         mdir = root / "gt_masks" / "val" / "cat" / vid
+        pdir = root / "pre_masks" / "val" / "cat" / vid
         adir = root / "audio_log_mel" / "val" / "cat"
         fdir.mkdir(parents=True)
         mdir.mkdir(parents=True)
+        pdir.mkdir(parents=True)
         adir.mkdir(parents=True, exist_ok=True)
         for i in range(5):
             img = rng.randint(0, 255, (S, S, 3), np.uint8)
@@ -45,6 +47,8 @@ def make_s4_tree(root):
             m = np.zeros((S, S), np.uint8)
             m[:, : S // 2] = 255
             cv2.imwrite(str(mdir / f"{vid}_{i + 1}.png"), m)
+            cv2.imwrite(str(pdir / f"{vid}_{i + 1}_mask_color.png"),
+                        rng.randint(0, 255, (S, S, 3), np.uint8))
         with open(adir / f"{vid}.pkl", "wb") as f:
             pickle.dump(torch.randn(5, 1, 96, 64), f)
 
@@ -63,12 +67,14 @@ def main():
     make_s4_tree(tmp)
     register(
         "r4_s4_val",
-        lambda: load_avss4_records(str(tmp), "val", None),
+        lambda: load_avss4_records(str(tmp), "val", str(tmp / "pre_masks")),
         {"stuff_classes": ["background", "object"], "ignore_label": 255,
          "evaluator_type": "sem_seg", "num_frames": 5},
     )
 
-    cfg = get_cfg()  # production COMBO-R50 width
+    cfg = get_cfg()  # production COMBO-R50 width (S4 preset)
+    cfg.merge_from_file(
+        "/root/repo/combo_avs_tpu/configs/avs_s4/COMBO_R50_bs8_90k.yaml")
     cfg.INPUT.SIZE_DIVISIBILITY = S
     cfg.DATASETS.TEST = ("r4_s4_val",)
     cfg.TEST.BF16 = True  # the production TPU inference path
@@ -119,6 +125,8 @@ def main():
     batch["valid"][:, :, :2] = True
 
     tcfg = get_cfg()
+    tcfg.merge_from_file(
+        "/root/repo/combo_avs_tpu/configs/avs_s4/COMBO_R50_bs8_90k.yaml")
     tcfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
     tcfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
     tmodel = build_model(tcfg, deterministic=False)
