@@ -12,6 +12,8 @@ Modes (first JSON line is the driver metric):
   python bench.py --train --dataset avss  # AVSS v1s/v1m 5-frame bucket:
                                           #   71 classes, bf16 AMP, bs8
   python bench.py --train --dataset avss --frames 10   # AVSS v2 bucket
+  python bench.py [--train] --tiny  # CPU-sized smoke of the measurement
+                                    #   graph (used by the test gate)
 
 Runs on ONE real chip with synthetic data (datasets/checkpoints are not
 shipped in this image), and prints a single JSON line.
@@ -58,17 +60,31 @@ def _flag(name, default=None):
     return default
 
 
+# --tiny: CPU-sized smoke of the exact measurement graphs (the test gate runs
+# both modes in-process, tests/test_bench_smoke.py) so a break in bench.py —
+# the driver's official metric — fails CI instead of the round's bench run.
+_TINY_MODEL_KWARGS = dict(
+    backbone_name="tiny_resnet", pre_sam_dim=(32, 64, 128, 256),
+    vggish_width=0.125, hidden_dim=32, nheads=2, dim_feedforward=64,
+    mask_dim=32, conv_dim=32, audio_out_dim=32, dec_layers=2, enc_layers=1,
+    num_queries=8,
+)
+
+
 def bench_eval():
     import jax
     import jax.numpy as jnp
 
     from combo_avs_tpu.models.meta_arch import MaskFormer, semantic_inference
 
-    B, T, S = int(_flag("--bs", 4)), 5, 224  # videos x 5 frames, the S4 regime
-    K = 8  # on-device loop length per timed call
+    tiny = bool(_flag("--tiny"))
+    B, T, S = int(_flag("--bs", 2 if tiny else 4)), 5, (64 if tiny else 224)
+    K = 2 if tiny else 8  # on-device loop length per timed call
     use_pvt = "pvt" in str(_flag("--model", ""))
     bf16 = not _flag("--fp32")
-    if use_pvt:
+    if tiny:
+        model = MaskFormer(**_TINY_MODEL_KWARGS)
+    elif use_pvt:
         # COMBO-PVTv2-B5 (BASELINE.md second speed target)
         model = MaskFormer(
             backbone_name="build_pvtv2_b5_backbone",
@@ -136,8 +152,9 @@ def bench_eval():
     print(
         json.dumps(
             {
-                "metric": "S4 eval frames/sec/chip "
-                + ("(COMBO-PVTv2" if use_pvt else "(COMBO-R50")
+                "metric": ("TINY-SMOKE " if tiny else "")
+                + "S4 eval frames/sec/chip "
+                + ("(COMBO-PVTv2" if use_pvt and not tiny else "(COMBO-R50")
                 + (", bf16)" if bf16 else ", fp32)"),
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/s",
@@ -178,24 +195,31 @@ def bench_train():
     from combo_avs_tpu.train.optim import build_optimizer
     from combo_avs_tpu.train.train_step import create_train_state, make_train_step
 
+    tiny = bool(_flag("--tiny"))
     avss = "avss" in str(_flag("--dataset", ""))
     use_pvt = "pvt" in str(_flag("--model", ""))
     force_amp = bool(_flag("--amp"))  # bf16 AMP for S4 too (TPU-native option;
     # the reference recipe keeps S4/MS3 fp32 and only AVSS enables AMP)
-    B = int(_flag("--bs", 8))  # IMS_PER_BATCH 8 for S4 and AVSS recipes
+    B = int(_flag("--bs", 2 if tiny else 8))  # IMS_PER_BATCH 8 in the recipes
     # frame count: production batches are frame-count homogeneous (the AVSS
     # loader buckets records, catalogs.py:120-127) — v1s/v1m are 5-frame,
     # v2 is 10-frame; S4/MS3 are always 5-frame
     T = int(_flag("--frames", 5))
     # Kslots: instance-slot padding as build_mapper sets it (trainer.py:54) —
     # 3 slots for binary-GT S4/MS3, 12 for AVSS index labels
-    S, Kslots = 224, (12 if avss else 3)
+    S, Kslots = (64 if tiny else 224), (12 if avss else 3)
     num_classes = 71 if avss else 2
     amp = avss or force_amp  # reference enables AMP only for AVSS
-    LOOP = 4
+    LOOP = 1 if tiny else 4
 
     kwargs = {}
-    if use_pvt:
+    if tiny:
+        kwargs = dict(_TINY_MODEL_KWARGS)
+        if avss:
+            # the Hungarian matcher needs num_queries >= the 12 AVSS
+            # instance slots (ops/lsap.py expects R <= C)
+            kwargs["num_queries"] = 16
+    elif use_pvt:
         kwargs = dict(backbone_name="build_pvtv2_b5_backbone",
                       pre_sam_dim=(64, 128, 320, 512))
     model = MaskFormer(deterministic=False, num_classes=num_classes, **kwargs)
@@ -261,8 +285,10 @@ def bench_train():
         times.append((time.perf_counter() - t0) / LOOP)
     dt = min(times)
 
-    name = ("AVSS" if avss else "S4") + " train s/step (COMBO-" + (
-        "PVTv2" if use_pvt else "R50"
+    name = ("TINY-SMOKE " if tiny else "") + (
+        "AVSS" if avss else "S4"
+    ) + " train s/step (COMBO-" + (
+        "PVTv2" if use_pvt and not tiny else "R50"
     ) + f", bs{B} x {T}f, {S}^2" + (", bf16 AMP)" if amp else ")")
     print(
         json.dumps(
