@@ -122,14 +122,41 @@ def bench_eval():
         (variables, cast_in(images), cast_in(mel), cast_in(pre))
     )
 
-    try:  # measured FLOPs: XLA's cost analysis counts the fori_loop body
-        # exactly once (verified: body/frames matches an unlooped lowering),
-        # so the looped graph's total IS one step's FLOPs
-        flops_step = float(
-            loop_steps.lower(*args).compile().cost_analysis()["flops"]
+    # Measured FLOPs. XLA's cost analysis counts every rolled loop body
+    # exactly ONCE: handy for the K-step fori (the looped graph's total IS
+    # one step's), but it also counts each `nn.scan` stack (the pixel
+    # decoder's 6 encoder layers; PVT's 3/6/40/3-block stages x2 towers) as
+    # a single body — undercounting by (depth-1) bodies per scan site. So
+    # the count comes from lowering (no compile, CPU backend) a twin model
+    # with scan_unroll=0 (fully unrolled scans) under force_xla(): the
+    # Pallas custom calls can't lower for CPU and would count 0 FLOPs
+    # anyway, while the gather-based XLA composition counts the deformable
+    # op's honest arithmetic.
+    try:
+        from combo_avs_tpu.ops.dispatch import force_xla
+
+        model_cost = model.clone(scan_unroll=0)
+
+        def one_step(v, images, mel, pre):
+            out = model_cost.apply(v, images, mel, pre)
+            return semantic_inference(
+                out["pred_logits"], out["pred_masks"], out_size=(S, S)
+            ).mean()
+
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args
         )
+        with force_xla(), jax.default_device(jax.devices("cpu")[0]):
+            flops_step = float(
+                jax.jit(one_step).lower(*shapes).cost_analysis()["flops"]
+            )
     except Exception:
-        flops_step = 0.0
+        try:  # fallback: rolled compiled graph (undercounts scan stacks)
+            flops_step = float(
+                loop_steps.lower(*args).compile().cost_analysis()["flops"]
+            )
+        except Exception:
+            flops_step = 0.0
     float(loop_steps(*args))  # warm up (same jit: compile already done)
 
     times = []

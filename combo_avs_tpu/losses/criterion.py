@@ -60,7 +60,9 @@ def uncertainty_sampled_points(
     coords = jax.random.uniform(k1, (M, n_sampled, 2))
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
     uncertainty = -jnp.abs(logits)
-    if jax.devices()[0].platform == "tpu" and not exact_topk:
+    from combo_avs_tpu.ops.dispatch import pallas_available
+
+    if pallas_available() and not exact_topk:
         # TPU-native approximate top-k (PartialReduce): ~2x faster than the
         # exact sort at 37k points, recall >= 0.95. The "top uncertain" set
         # is a heuristic over RANDOM points — swapping a few near-top points

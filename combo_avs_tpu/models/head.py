@@ -46,6 +46,8 @@ class MaskFormerHead(nn.Module):
     audio_dim: int = 128
     pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
     deterministic: bool = True
+    # encoder scan unroll factor; 0 = fully unroll (bench FLOP-costing twin)
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], audio_feature: jnp.ndarray):
@@ -57,6 +59,7 @@ class MaskFormerHead(nn.Module):
                 in_features=tuple(self.in_features),
                 enc_layers=self.enc_layers,
                 n_heads=self.nheads,
+                scan_unroll=self.scan_unroll,
                 name="pixel_decoder",
             )
         else:

@@ -79,13 +79,18 @@ class MaskFormer(nn.Module):
     freeze_audio: bool = True
     # dryrun/test-only knob: scales the (frozen) VGGish tower width
     vggish_width: float = 1.0
+    # scan unroll factor for the PVT stages and the pixel-decoder encoder;
+    # 0 = fully unroll (bench.py lowers such a twin to count FLOPs — XLA
+    # cost_analysis counts a rolled scan body once)
+    scan_unroll: int = 1
 
     def _build_backbone(self, name: str):
         if self.backbone_name == "build_resnet_backbone":
             return ResNet(depth=50, name=name)
         if self.backbone_name == "build_pvtv2_b5_backbone":
             return PVTv2(depths=tuple(self.pvt_depths),
-                         deterministic=self.deterministic, name=name)
+                         deterministic=self.deterministic,
+                         scan_unroll=self.scan_unroll, name=name)
         if self.backbone_name == "tiny_resnet":
             # one bottleneck per stage, 8x narrower: NOT a reference config —
             # exists so the multichip dryrun compiles the full SEM/fusion/
@@ -166,6 +171,7 @@ class MaskFormer(nn.Module):
             audio_dim=self.audio_dim,
             pixel_decoder_name=self.pixel_decoder_name,
             deterministic=self.deterministic,
+            scan_unroll=self.scan_unroll,
             name="sem_seg_head",
         )(features, audio_feature)
         return outputs

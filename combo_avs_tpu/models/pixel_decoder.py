@@ -177,6 +177,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     d_ffn: int = 1024  # hardcoded in the reference (msdeformattn.py:309)
+    # encoder scan unroll factor; 0 = fully unroll (bench FLOP-costing twin)
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -219,6 +221,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             split_rngs={"params": True},
             in_axes=0,
             length=self.enc_layers,
+            unroll=self.enc_layers if self.scan_unroll <= 0 else self.scan_unroll,
         )
         (src, _, _), _ = Layers(
             d_model=self.conv_dim,

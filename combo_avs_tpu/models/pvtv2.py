@@ -125,6 +125,11 @@ class PVTv2(nn.Module):
     drop_path_rate: float = 0.1
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     deterministic: bool = True
+    # lax.scan unroll factor for each stage's block stack; 0 = fully unroll
+    # (used by bench.py's FLOP-costing twin — XLA cost_analysis counts a
+    # rolled while-loop body exactly once, so the rolled lowering
+    # undercounts a depth-d stage by d-1 bodies)
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -154,6 +159,7 @@ class PVTv2(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0,
                 length=depth,
+                unroll=depth if self.scan_unroll <= 0 else self.scan_unroll,
             )
             x, _ = Blocks(
                 dim=self.embed_dims[i],

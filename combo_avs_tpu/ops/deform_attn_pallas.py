@@ -666,8 +666,9 @@ ms_deform_attn_pallas.defvjp(_fwd, _bwd)
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights):
     """Backend dispatch: Pallas kernel on TPU, XLA composition elsewhere."""
-    platform = jax.devices()[0].platform
-    if platform == "tpu":
+    from combo_avs_tpu.ops.dispatch import pallas_available
+
+    if pallas_available():
         return ms_deform_attn_pallas(
             value, tuple(map(tuple, spatial_shapes)), sampling_locations, attention_weights
         )

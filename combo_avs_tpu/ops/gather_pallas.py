@@ -122,6 +122,8 @@ def gather_lanes(
 
 def take_along_axis(src, idx, interpret: bool = False):
     """Dispatch: Pallas lane-gather on TPU, jnp.take_along_axis elsewhere."""
-    if jax.devices()[0].platform == "tpu" or interpret:
+    from combo_avs_tpu.ops.dispatch import pallas_available
+
+    if pallas_available() or interpret:
         return gather_lanes(src, idx, interpret=interpret)
     return jnp.take_along_axis(src, idx, axis=1)

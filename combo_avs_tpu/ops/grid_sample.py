@@ -105,12 +105,14 @@ def point_sample(
     Returns:
       [N, P, C]
     """
+    from combo_avs_tpu.ops.dispatch import pallas_available
+
     N, H, W, C = feat.shape
     # img block [H, W] fp32 must fit VMEM alongside small per-block tensors
     if (
         not align_corners
         and H * W * 4 <= 8 * 1024 * 1024
-        and jax.devices()[0].platform == "tpu"
+        and pallas_available()
     ):
         from combo_avs_tpu.ops.point_sample_pallas import point_sample_pallas
 

@@ -460,9 +460,11 @@ def point_sample_shared(
 def point_sample_shared_or_fallback(feat, points):
     """Shared-points fast path when shapes fit; per-channel kernel or XLA
     composition otherwise. Forward-only (matcher costs are stop_gradient)."""
+    from combo_avs_tpu.ops.dispatch import pallas_available
+
     N, H, W, C = feat.shape
     if (
-        jax.devices()[0].platform == "tpu"
+        pallas_available()
         and _pad_to(H * W, 128) <= _SHARED_MAX_HW
         and C <= _SHARED_MAX_C
     ):

@@ -17,6 +17,9 @@ import numpy as np
 
 def main():
     import jax
+
+    if "--tiny" in sys.argv:  # CPU smoke (JAX_PLATFORMS env is ignored here)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from combo_avs_tpu.config import get_cfg
@@ -72,10 +75,14 @@ def main():
     batch = jax.device_put(batch)
     rows = []
 
-    # 1. full step
+    # 1. full step — return the UPDATED param tree, not just the loss:
+    # device_timer's carry only chains what fn returns, and XLA dead-code
+    # eliminates everything the returned scalar doesn't need (returning only
+    # the loss metric DCE'd the whole backward+optimizer: 237 ms vs the real
+    # 589 ms, caught round 4 on-chip)
     def full(state, batch):
         s2, m = train_step(state, batch, jax.random.PRNGKey(7))
-        return m["total_loss"]
+        return (s2.params, m["total_loss"])
     rows.append(("FULL train step", device_timer(full, state, batch, iters=4)))
     print(f"{rows[-1][1] * 1e3:9.1f} ms  FULL", flush=True)
 
@@ -94,11 +101,11 @@ def main():
     rows.append(("model forward", device_timer(fwd_only, params, batch, iters=8)))
     print(f"{rows[-1][1] * 1e3:9.1f} ms  model fwd", flush=True)
 
-    # 3. model forward+backward (no criterion)
+    # 3. model forward+backward (no criterion); return the full grad tree
+    # (a single grad element would let XLA DCE the other params' backward)
     gfn = jax.grad(fwd_only)
     def fwd_bwd(params, batch):
-        g = gfn(params, batch)
-        return jax.tree.leaves(g)[0].ravel()[0]
+        return gfn(params, batch)
     rows.append(("model fwd+bwd", device_timer(fwd_bwd, params, batch, iters=4)))
     print(f"{rows[-1][1] * 1e3:9.1f} ms  model fwd+bwd", flush=True)
 
@@ -116,8 +123,7 @@ def main():
 
     cgfn = jax.grad(lambda o: crit(o))
     def crit_bwd(outputs):
-        g = cgfn(outputs)
-        return jax.tree.leaves(g)[0].ravel()[0]
+        return cgfn(outputs)  # full grad tree — see the DCE note above
     rows.append(("criterion fwd+bwd (w.r.t. outputs)",
                  device_timer(crit_bwd, outputs, iters=4)))
     print(f"{rows[-1][1] * 1e3:9.1f} ms  criterion fwd+bwd", flush=True)
@@ -135,7 +141,7 @@ def main():
     gsample = jax.jit(lambda p: jax.tree.map(lambda x: x * 1e-3, p))(params)
     def opt_only(g, params):
         upd, _ = optimizer.update(g, state.opt_state, params)
-        return jax.tree.leaves(upd)[0].ravel()[0]
+        return upd  # full tree — see the DCE note above
     rows.append(("optimizer update (AdamW+clip)",
                  device_timer(opt_only, gsample, params, iters=8)))
     print(f"{rows[-1][1] * 1e3:9.1f} ms  optimizer", flush=True)
