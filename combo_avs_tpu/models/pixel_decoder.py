@@ -179,6 +179,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
     d_ffn: int = 1024  # hardcoded in the reference (msdeformattn.py:309)
     # encoder scan unroll factor; 0 = fully unroll (bench FLOP-costing twin)
     scan_unroll: int = 1
+    # False = save every encoder-layer activation instead of recomputing in
+    # backward (needs ~16.6 GB XLA temp at bs8 — OOM on 16 GB v5e; fits at
+    # smaller batch; exists for profiling the remat-replay cost)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -216,7 +220,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # (An earlier XLA:TPU RET_CHECK with remat around Pallas calls —
         # b/399810917 — no longer reproduces on this stack.)
         Layers = nn.scan(
-            nn.remat(DeformableEncoderLayer),
+            nn.remat(DeformableEncoderLayer) if self.remat else DeformableEncoderLayer,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,

@@ -119,6 +119,51 @@ def main():
         return uncertainty_sampled_points(key, src, NPTS, 3.0, 0.75)
     rec("uncertainty point selection x1", sel1, src)
 
+    # 6b. selection sub-split: oversample sampling / approx top-k / gather
+    from combo_avs_tpu.ops.dispatch import pallas_available
+    from combo_avs_tpu.ops.grid_sample import point_sample
+
+    M_, NS = N * K, int(NPTS * 3.0)
+    NU = int(NPTS * 0.75)
+    coords = jax.random.uniform(jax.random.PRNGKey(5), (M_, NS, 2))
+    def samp_overs(src, coords):
+        return point_sample(src[..., None], coords)[..., 0]
+    rec("  sel: 3x-oversample sampling", samp_overs, src, coords)
+    unc = jax.jit(lambda s, c: -jnp.abs(samp_overs(s, c)))(src, coords)
+    def topk_only(unc):
+        return jax.lax.approx_max_k(unc, NU, recall_target=0.95)[1]
+    rec("  sel: approx_max_k", topk_only, unc, iters=16)
+    idx = jax.jit(topk_only)(unc)
+    if pallas_available():
+        from combo_avs_tpu.ops.gather_pallas import gather_lanes
+
+        def gath(coords, idx):
+            flat = jnp.concatenate([coords[..., 0], coords[..., 1]], axis=0)
+            return gather_lanes(flat, jnp.concatenate([idx, idx], axis=0))
+        rec("  sel: coord gather (lane one-hot)", gath, coords, idx, iters=16)
+
+    # 6c. matcher cost sub-split: pred sampling / tgt sampling / cost math
+    from combo_avs_tpu.ops.point_sample_pallas import (
+        point_sample_shared_or_fallback)
+
+    pts = jax.random.uniform(jax.random.PRNGKey(7), (N, NPTS, 2))
+    predm = jnp.transpose(final["pred_masks"], (0, 2, 3, 1))  # [N, h, w, Q]
+    tgtm = jnp.transpose(targets["masks"], (0, 2, 3, 1))  # [N, H, W, K]
+    def samp_pred(predm, pts):
+        return point_sample_shared_or_fallback(predm, pts)
+    rec("  cost: pred sampling (Q ch)", samp_pred, predm, pts, iters=16)
+    def samp_tgt(tgtm, pts):
+        return point_sample_shared_or_fallback(tgtm, pts)
+    rec(f"  cost: tgt sampling (K ch, {H}^2)", samp_tgt, tgtm, pts, iters=16)
+    out_pts = jnp.swapaxes(jax.jit(samp_pred)(predm, pts), 1, 2)  # [N, Q, P]
+    tgt_pts = jnp.swapaxes(jax.jit(samp_tgt)(tgtm, pts), 1, 2)  # [N, K, P]
+    from combo_avs_tpu.losses.matcher import (
+        batch_dice_cost, batch_sigmoid_ce_cost)
+    def cost_math(o, t):
+        return (jax.vmap(batch_sigmoid_ce_cost)(o, t)
+                + jax.vmap(batch_dice_cost)(o, t))
+    rec("  cost: BCE+dice cost math", cost_math, out_pts, tgt_pts, iters=16)
+
     # 7. EXPERIMENT: bf16 cost sampling (ordering-only use of the matmuls)
     def cost_bf16(o):
         return matcher.cost_matrix(
