@@ -110,6 +110,50 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
     return col4row
 
 
+def solve_lsap_small(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact LSAP for a SMALL row count (R <= ~4), fully vectorized.
+
+    The JV solver above is a scan of data-dependent while_loops — correct
+    everywhere, but its serial depth costs ~1.5 ms per matcher call on TPU
+    even at R=3 (docs/PROFILE_r4.md). For the S4/MS3 matcher (R = 3 padded
+    target slots) this closed form replaces it:
+
+    An optimal assignment uses, for each row, one of that row's R
+    smallest-cost columns. (Exchange argument: if row r used a column
+    outside its top-R, then r has R strictly-cheaper-or-equal columns of
+    which at most R-1 are occupied, so a free one exists; swapping r to it
+    keeps the total optimal and strictly lowers r's rank — repeat until all
+    rows sit inside their top-R.) So: take top-R columns per row, enumerate
+    all R^R candidate choices (27 at R=3), mask tuples that reuse a column,
+    and take the cheapest — one top_k + O(R^R * R) VPU ops, no serial loop.
+    """
+    R, C = cost.shape
+    assert R <= C, "solve_lsap_small expects R <= C"
+    cost = jnp.asarray(cost, jnp.float32)
+    neg_topv, topi = jax.lax.top_k(-cost, R)  # per-row R smallest
+    topv = -neg_topv  # [R, R]
+
+    combos = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(R)] * R), indexing="ij"), axis=-1
+    ).reshape(-1, R)  # [R^R, R] candidate-rank choices per row
+    rows = jnp.arange(R)[None, :]
+    cand_cols = topi[rows, combos]  # [R^R, R] actual column ids
+    total = topv[rows, combos].sum(-1)  # [R^R]
+    distinct = jnp.ones((combos.shape[0],), bool)
+    for a in range(R):
+        for b in range(a + 1, R):
+            distinct &= cand_cols[:, a] != cand_cols[:, b]
+    best = jnp.argmin(jnp.where(distinct, total, INF))
+    return cand_cols[best].astype(jnp.int32)
+
+
+# Above this row count the R^R enumeration loses to the JV scan
+# (5^5 = 3125 tuples is still fine; 12^12 — the AVSS slot count — is not).
+_SMALL_R_MAX = 5
+
+
 def solve_lsap_batch(cost: jnp.ndarray) -> jnp.ndarray:
     """[N, R, C] -> [N, R]."""
+    if cost.shape[1] <= _SMALL_R_MAX:
+        return jax.vmap(solve_lsap_small)(cost)
     return jax.vmap(solve_lsap)(cost)

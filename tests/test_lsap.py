@@ -64,3 +64,59 @@ def test_large_matcher_shape():
     rng = np.random.RandomState(3)
     c = rng.randn(16, 100).astype(np.float32)
     _check(c)
+
+
+def _check_small(cost):
+    from combo_avs_tpu.ops.lsap import solve_lsap_small
+
+    ours = np.asarray(jax.jit(solve_lsap_small)(cost))
+    rows, cols = scipy.optimize.linear_sum_assignment(cost)
+    ours_total = cost[np.arange(cost.shape[0]), ours].sum()
+    ref_total = cost[rows, cols].sum()
+    np.testing.assert_allclose(ours_total, ref_total, rtol=1e-5)
+    assert len(set(ours.tolist())) == cost.shape[0]
+    assert (ours >= 0).all() and (ours < cost.shape[1]).all()
+
+
+def test_small_r_exhaustive_vs_scipy():
+    """solve_lsap_small (candidate-reduction brute force) is exact for every
+    small-R shape the matcher produces (R = padded target slots <= 5)."""
+    rng = np.random.RandomState(2)
+    for trial in range(60):
+        R = rng.randint(1, 6)
+        C = rng.randint(R, R + 100)
+        _check_small(rng.randn(R, C).astype(np.float32) * rng.uniform(0.1, 10))
+
+
+def test_small_r_ties_and_padding():
+    _check_small(np.zeros((3, 7), np.float32))
+    _check_small(np.ones((4, 4), np.float32))
+    # the matcher's padding pattern: invalid slots get a large uniform cost
+    rng = np.random.RandomState(3)
+    for npad in (1, 2):
+        c = rng.rand(3 - npad, 100).astype(np.float32)
+        pad = np.full((npad, 100), 1e4, np.float32)
+        full = np.concatenate([c, pad], axis=0)
+        from combo_avs_tpu.ops.lsap import solve_lsap_small
+
+        ours = np.asarray(jax.jit(solve_lsap_small)(full))
+        # valid rows must reach the unrestricted optimum of their sub-problem
+        rows, cols = scipy.optimize.linear_sum_assignment(full)
+        np.testing.assert_allclose(
+            full[np.arange(3), ours].sum(), full[rows, cols].sum(), rtol=1e-5
+        )
+        assert len(set(ours.tolist())) == 3
+
+
+def test_batch_dispatch_small_vs_jv():
+    """solve_lsap_batch routes small R to the brute solver; totals must
+    agree with the JV path on the same costs."""
+    rng = np.random.RandomState(4)
+    cost = rng.randn(17, 3, 100).astype(np.float32)
+    small = np.asarray(solve_lsap_batch(cost))
+    jv = np.asarray(jax.vmap(solve_lsap)(cost))
+    n = np.arange(3)
+    for i in range(17):
+        np.testing.assert_allclose(
+            cost[i][n, small[i]].sum(), cost[i][n, jv[i]].sum(), rtol=1e-5
+        )
