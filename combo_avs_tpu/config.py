@@ -347,8 +347,9 @@ def get_cfg() -> CfgNode:
     f.TRAIN_NUM_POINTS = 112 * 112
     f.OVERSAMPLE_RATIO = 3.0
     f.IMPORTANCE_SAMPLE_RATIO = 0.75
-    # TPU-native knob (no reference equivalent): False = approx_max_k
-    # (recall>=0.95, ~2x faster) for PointRend uncertain-point selection,
+    # TPU-native knob (no reference equivalent): False = stratified chunk
+    # sort (recall ~0.96 vs exact, ~11x faster; approx_max_k fallback for
+    # indivisible shapes) for PointRend uncertain-point selection,
     # True = the reference's exact top-k
     f.EXACT_TOPK_POINTS = False
     f.TEST = CfgNode()

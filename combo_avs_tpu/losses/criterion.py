@@ -59,28 +59,66 @@ def uncertainty_sampled_points(
     k1, k2 = jax.random.split(key)
     coords = jax.random.uniform(k1, (M, n_sampled, 2))
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
-    uncertainty = -jnp.abs(logits)
     from combo_avs_tpu.ops.dispatch import pallas_available
 
-    if pallas_available() and not exact_topk:
-        # TPU-native approximate top-k (PartialReduce): ~2x faster than the
-        # exact sort at 37k points, recall >= 0.95. The "top uncertain" set
-        # is a heuristic over RANDOM points — swapping a few near-top points
-        # for each other preserves the PointRend semantics.
-        _, idx = jax.lax.approx_max_k(uncertainty, n_uncertain, recall_target=0.95)
-        # XLA take_along_axis is serial dynamic slices on TPU (~23 ms per
-        # decoder layer here); the Pallas lane-gather extracts both coord
-        # channels in one one-hot-matmul pass
+    strat = _stratified_chunk(n_sampled, n_uncertain)
+    if pallas_available() and not exact_topk and strat:
+        top_coords = _stratified_uncertain_coords(logits, coords, *strat)
+    elif pallas_available() and not exact_topk:
+        # fallback for indivisible shapes: approximate top-k (PartialReduce,
+        # recall >= 0.95) + Pallas lane-gather of the coords (XLA
+        # take_along_axis is serial dynamic slices on TPU, ~23 ms/layer)
+        _, idx = jax.lax.approx_max_k(-jnp.abs(logits), n_uncertain,
+                                      recall_target=0.95)
         from combo_avs_tpu.ops.gather_pallas import gather_lanes
 
         flat = jnp.concatenate([coords[..., 0], coords[..., 1]], axis=0)  # [2M, NS]
         sel = gather_lanes(flat, jnp.concatenate([idx, idx], axis=0))  # [2M, NU]
         top_coords = jnp.stack([sel[:M], sel[M:]], axis=-1)
     else:
-        _, idx = jax.lax.top_k(uncertainty, n_uncertain)
+        _, idx = jax.lax.top_k(-jnp.abs(logits), n_uncertain)
         top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
     rand_coords = jax.random.uniform(k2, (M, n_random, 2))
     return jax.lax.stop_gradient(jnp.concatenate([top_coords, rand_coords], axis=1))
+
+
+# Chunk width for the stratified selection. 256 measured 3.11 ms vs the
+# approx_max_k+gather path's 6.44 ms at the production shape with the same
+# recall class (0.957 vs the 0.95 target); 128 is faster still (2.71 ms) at
+# recall 0.939 (scripts/exp_select_topk.py, docs/PROFILE_r4.md).
+_STRAT_CHUNK = 256
+
+
+def _stratified_chunk(n_sampled: int, n_uncertain: int):
+    """Chunk/quota for the stratified selection, or None if shapes do not
+    divide (then the approx_max_k fallback runs)."""
+    ch = _STRAT_CHUNK
+    if n_sampled % ch == 0 and (n_uncertain * ch) % n_sampled == 0 \
+            and n_uncertain * ch // n_sampled > 0:
+        return ch, n_uncertain * ch // n_sampled
+    return None
+
+
+def _stratified_uncertain_coords(logits, coords, ch, quota):
+    """Top-`n_uncertain` most-uncertain points via a stratified chunk sort.
+
+    The candidates are iid uniform points, so the global top-k spreads
+    binomially over lane chunks: sorting each `ch`-wide chunk by |logit|
+    (ascending = most uncertain first) with the coord channels riding as
+    sort payload and keeping a fixed per-chunk quota reaches recall ~0.94
+    (ch=128) / ~0.96 (ch=256) of the exact top-k — the same approximation
+    class as the approx_max_k path it replaces, at half the time, with NO
+    coord gather afterwards (the payload IS the answer; the lane-gather it
+    replaces also bf16-rounded the coords through its one-hot matmul)."""
+    M, NS = logits.shape
+    nchunk = NS // ch
+    k = jnp.abs(logits).reshape(M * nchunk, ch)
+    a = coords[..., 0].reshape(M * nchunk, ch)
+    b = coords[..., 1].reshape(M * nchunk, ch)
+    _, sa, sb = jax.lax.sort((k, a, b), dimension=-1, num_keys=1)
+    nu = nchunk * quota
+    return jnp.stack([sa[:, :quota].reshape(M, nu),
+                      sb[:, :quota].reshape(M, nu)], axis=-1)
 
 
 class SetCriterion:

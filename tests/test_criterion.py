@@ -201,3 +201,41 @@ def test_uncertainty_points_exact_topk():
     assert bool((sel_unc >= kth[:, None] - 1e-6).all())
     # the random tail stays in [0, 1]
     assert float(pts[:, n_unc:].min()) >= 0 and float(pts[:, n_unc:].max()) <= 1
+
+
+def test_stratified_uncertain_coords():
+    """The stratified chunk-sort selection (the TPU default path): correct
+    count, every selected coord comes from the candidate pool, and recall vs
+    the exact top-k stays in the approx_max_k class (>= 0.9)."""
+    from combo_avs_tpu.losses.criterion import (
+        _stratified_chunk, _stratified_uncertain_coords)
+
+    rng = np.random.RandomState(1)
+    M, NS = 6, 1024
+    NU = NS * 3 // 4
+    strat = _stratified_chunk(NS, NU)
+    assert strat is not None
+    ch, quota = strat
+    logits = jnp.asarray(rng.randn(M, NS).astype(np.float32))
+    coords = jnp.asarray(rng.rand(M, NS, 2).astype(np.float32))
+    out = np.asarray(_stratified_uncertain_coords(logits, coords, ch, quota))
+    assert out.shape == (M, NU, 2)
+
+    cn = np.asarray(coords)
+    ln = np.asarray(logits)
+    for m in range(M):
+        pool = {(float(a), float(b)): i for i, (a, b) in enumerate(cn[m])}
+        sel = [pool[(float(a), float(b))] for a, b in out[m]]  # KeyError = bad
+        assert len(set(sel)) == NU  # no duplicates
+        exact = set(np.argsort(np.abs(ln[m]))[:NU].tolist())
+        recall = len(set(sel) & exact) / NU
+        assert recall >= 0.9, recall
+
+
+def test_stratified_chunk_divisibility():
+    from combo_avs_tpu.losses.criterion import _stratified_chunk
+
+    # the production PointRend shape: 12544 points, 3x oversample, 75%
+    assert _stratified_chunk(12544 * 3, 12544 * 3 // 4) == (256, 64)
+    # indivisible pools fall back (None)
+    assert _stratified_chunk(1000, 750) is None
