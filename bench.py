@@ -249,6 +249,9 @@ def bench_train():
     elif use_pvt:
         kwargs = dict(backbone_name="build_pvtv2_b5_backbone",
                       pre_sam_dim=(64, 128, 320, 512))
+    policy = str(_flag("--remat-policy", ""))  # "" | "save_deform"
+    if policy:
+        kwargs["remat_policy"] = policy
     model = MaskFormer(deterministic=False, num_classes=num_classes, **kwargs)
     rng = np.random.RandomState(0)
     batch = {
@@ -276,7 +279,8 @@ def bench_train():
     cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
     matcher = HungarianMatcher()
     criterion = SetCriterion(num_classes=num_classes, matcher=matcher,
-                             cosine_n_frame=5)  # trainer.py:93: always 5
+                             cosine_n_frame=5,  # trainer.py:93: always 5
+                             vmap_layers=bool(_flag("--vmap-criterion")))
     cfg.MODEL.MASK_FORMER.DEC_LAYERS = 10
     wd = build_weight_dict(cfg)
 

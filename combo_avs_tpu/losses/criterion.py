@@ -27,6 +27,7 @@ Losses (ref formulas):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -133,6 +134,7 @@ class SetCriterion:
         cosine_n_frame: int = 5,
         remat: bool = True,
         exact_topk: bool = False,
+        vmap_layers: bool = False,
     ):
         self.num_classes = num_classes
         self.matcher = matcher
@@ -143,6 +145,10 @@ class SetCriterion:
         self.cosine_n_frame = cosine_n_frame
         self.remat = remat
         self.exact_topk = exact_topk
+        # True = batch the 10 layers' loss bodies with vmap instead of the
+        # serial lax.map: same single-body compile cost, 10x fewer op
+        # dispatches, ~10x the loss-graph live intermediates (~2 GB at bs8)
+        self.vmap_layers = vmap_layers
 
     # ------------------------------------------------------------------
     def _loss_labels(self, pred_logits, labels, valid, assign, frame_weight):
@@ -270,8 +276,9 @@ class SetCriterion:
             lm, ld = self._loss_masks(ks, masks, tgt_masks, valid, assign, num_masks)
             return ce, lm, ld
 
-        ces, lms, lds = jax.lax.map(
-            per_layer, (stacked_logits, stacked_masks, kmat, ksamp))
+        run = jax.vmap(per_layer) if self.vmap_layers else functools.partial(
+            jax.lax.map, per_layer)
+        ces, lms, lds = run((stacked_logits, stacked_masks, kmat, ksamp))
         for j, (_, _, suffix) in enumerate(layers):
             losses[f"loss_ce{suffix}"] = ces[j]
             losses[f"loss_mask{suffix}"] = lms[j]

@@ -48,6 +48,8 @@ class MaskFormerHead(nn.Module):
     deterministic: bool = True
     # encoder scan unroll factor; 0 = fully unroll (bench FLOP-costing twin)
     scan_unroll: int = 1
+    # pixel-decoder remat policy ("" | "save_deform"); see pixel_decoder.py
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], audio_feature: jnp.ndarray):
@@ -60,6 +62,7 @@ class MaskFormerHead(nn.Module):
                 enc_layers=self.enc_layers,
                 n_heads=self.nheads,
                 scan_unroll=self.scan_unroll,
+                remat_policy=self.remat_policy,
                 name="pixel_decoder",
             )
         else:

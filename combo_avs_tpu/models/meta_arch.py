@@ -83,6 +83,8 @@ class MaskFormer(nn.Module):
     # 0 = fully unroll (bench.py lowers such a twin to count FLOPs — XLA
     # cost_analysis counts a rolled scan body once)
     scan_unroll: int = 1
+    # pixel-decoder remat policy ("" | "save_deform"); see pixel_decoder.py
+    remat_policy: str = ""
 
     def _build_backbone(self, name: str):
         if self.backbone_name == "build_resnet_backbone":
@@ -172,6 +174,7 @@ class MaskFormer(nn.Module):
             pixel_decoder_name=self.pixel_decoder_name,
             deterministic=self.deterministic,
             scan_unroll=self.scan_unroll,
+            remat_policy=self.remat_policy,
             name="sem_seg_head",
         )(features, audio_feature)
         return outputs

@@ -33,6 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from combo_avs_tpu.models.position_encoding import sine_position_encoding
 from combo_avs_tpu.ops.deform_attn_pallas import ms_deform_attn
@@ -101,6 +102,10 @@ class MSDeformAttn(nn.Module):
         )
 
         out = ms_deform_attn(value, self.spatial_shapes, loc, weights)
+        # Named so the `save_deform` remat policy can keep it as a residual:
+        # output_proj's backward then reads its input here instead of
+        # replaying the Pallas forward kernel (docs/PROFILE_r4.md section 12).
+        out = checkpoint_name(out, "deform_out")
         return nn.Dense(
             self.d_model, kernel_init=nn.initializers.xavier_uniform(), name="output_proj"
         )(out)
@@ -183,6 +188,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
     # backward (needs ~16.6 GB XLA temp at bs8 — OOM on 16 GB v5e; fits at
     # smaller batch; exists for profiling the remat-replay cost)
     remat: bool = True
+    # "" = plain remat (save only the scan carry); "save_deform" = also keep
+    # each layer's deformable-kernel output ([B, S, C], ~168 MB/layer at
+    # bs8 fp32) so the backward replay skips the 6 Pallas forward calls
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -219,8 +228,17 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # allocation from 16.6 GB (OOM on 16 GB v5e) to 10.1 GB.
         # (An earlier XLA:TPU RET_CHECK with remat around Pallas calls —
         # b/399810917 — no longer reproduces on this stack.)
+        if self.remat:
+            policy = (
+                jax.checkpoint_policies.save_only_these_names("deform_out")
+                if self.remat_policy == "save_deform"
+                else None
+            )
+            body = nn.remat(DeformableEncoderLayer, policy=policy)
+        else:
+            body = DeformableEncoderLayer
         Layers = nn.scan(
-            nn.remat(DeformableEncoderLayer) if self.remat else DeformableEncoderLayer,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,

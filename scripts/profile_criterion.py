@@ -86,6 +86,24 @@ def main():
             criterion(key, outputs, targets, frame_weight=fw), wd)
     rec("criterion fwd, 10 layers", crit, outputs, iters=4)
 
+    # 1b. EXPERIMENT: the 10 layers batched with vmap instead of lax.map
+    # (same compiled body, 10x fewer dispatches, ~10x live intermediates)
+    crit_v = SetCriterion(num_classes=C, matcher=matcher, cosine_n_frame=T,
+                          num_points=NPTS, vmap_layers=True)
+
+    def critv(outputs):
+        return total_loss(
+            crit_v(key, outputs, targets, frame_weight=fw), wd)
+    try:
+        rec("EXPT criterion fwd, vmap layers", critv, outputs, iters=4)
+        lm_ = jax.jit(crit)(outputs)
+        lv_ = jax.jit(critv)(outputs)
+        print(f"          vmap-vs-map total loss: {float(lm_):.6f} vs "
+              f"{float(lv_):.6f}", flush=True)
+    except Exception as e:
+        print(f"          vmap layers EXPT failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+
     # 2. matcher x1 full
     def match1(o):
         return matcher(key, o["pred_logits"], o["pred_masks"],

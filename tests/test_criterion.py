@@ -239,3 +239,31 @@ def test_stratified_chunk_divisibility():
     assert _stratified_chunk(12544 * 3, 12544 * 3 // 4) == (256, 64)
     # indivisible pools fall back (None)
     assert _stratified_chunk(1000, 750) is None
+
+
+def test_vmap_layers_matches_lax_map():
+    # vmap_layers=True batches the 10-layer loss body instead of the serial
+    # lax.map; losses must be identical (same math, same per-layer RNG keys)
+    logits, masks, labels, tgt_masks, valid = _synthetic_problem(perfect=False)
+    aux = []
+    rng = np.random.RandomState(11)
+    for _ in range(2):
+        aux.append({
+            "pred_logits": jnp.asarray(
+                rng.randn(*logits.shape).astype(np.float32)),
+            "pred_masks": jnp.asarray(
+                rng.randn(*masks.shape).astype(np.float32)),
+        })
+    out = {"pred_logits": logits, "pred_masks": masks, "aux_outputs": aux,
+           "middles_attn_mask": []}
+    targets = {"labels": labels, "masks": tgt_masks, "valid": valid}
+
+    base = _criterion()
+    vm = _criterion()
+    vm.vmap_layers = True
+    l0 = base(jax.random.PRNGKey(0), out, targets)
+    l1 = vm(jax.random.PRNGKey(0), out, targets)
+    assert set(l0) == set(l1)
+    for k in l0:
+        np.testing.assert_allclose(
+            np.asarray(l0[k]), np.asarray(l1[k]), atol=1e-6, err_msg=k)

@@ -79,3 +79,32 @@ def test_pixel_decoder_end_to_end_shapes_and_grads():
     assert np.isfinite(gnorm) and gnorm > 0
     # scanned encoder params are stacked over 2 layers
     assert g["params"]["encoder"]["self_attn"]["value_proj"]["kernel"].shape[0] == 2
+
+
+def test_remat_policy_save_deform_grads_match():
+    # remat_policy="save_deform" keeps the named deformable-kernel output as
+    # a residual (skipping the Pallas forward replay on TPU); rematerialization
+    # must not change gradients at all
+    B = 2
+    rng = np.random.RandomState(7)
+    feats = {
+        "res2": rng.randn(B, 16, 16, 32).astype(np.float32),
+        "res3": rng.randn(B, 8, 8, 64).astype(np.float32),
+        "res4": rng.randn(B, 4, 4, 128).astype(np.float32),
+        "res5": rng.randn(B, 2, 2, 256).astype(np.float32),
+    }
+    kw = dict(conv_dim=64, mask_dim=48, enc_layers=2, d_ffn=128)
+    base = MSDeformAttnPixelDecoder(**kw)
+    variables = base.init(jax.random.PRNGKey(0), feats)
+
+    def grads(dec):
+        def loss(v):
+            mf, _, ms = dec.apply(v, feats)
+            return (mf**2).mean() + (ms[2] ** 2).mean()
+
+        return jax.jit(jax.grad(loss))(variables)
+
+    g0 = grads(base)
+    g1 = grads(MSDeformAttnPixelDecoder(remat_policy="save_deform", **kw))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
