@@ -183,7 +183,11 @@ def register_all(datasets_root: str, use_pre_sam: bool = True):
         for split in ("train", "val", "test"):
             register(
                 f"avss4_sem_seg_{split}",
-                lambda s=split: load_avss4_records(s4_root, s, pre),
+                # bind `pre` as a default arg: the name is reassigned by the
+                # MS3/AVSS blocks below, and a late-binding closure would make
+                # S4 records silently lose their Maskiges whenever several
+                # benchmarks register under one root
+                lambda s=split, p=pre: load_avss4_records(s4_root, s, p),
                 {
                     "stuff_classes": ["background", "object"],
                     "ignore_label": 255,
@@ -196,7 +200,7 @@ def register_all(datasets_root: str, use_pre_sam: bool = True):
         for split in ("train", "val", "test"):
             register(
                 f"avsms3_sem_seg_{split}",
-                lambda s=split: load_avsms3_records(ms3_root, s, pre),
+                lambda s=split, p=pre: load_avsms3_records(ms3_root, s, p),
                 {
                     "stuff_classes": ["background", "object"],
                     "ignore_label": 255,
@@ -214,7 +218,7 @@ def register_all(datasets_root: str, use_pre_sam: bool = True):
         for split in ("train", "val", "test"):
             register(
                 f"avss_sem_seg_{split}",
-                lambda s=split: load_avss_records(avss_root, s, pre),
+                lambda s=split, p=pre: load_avss_records(avss_root, s, p),
                 {
                     "stuff_classes": classes,
                     "ignore_label": 255,

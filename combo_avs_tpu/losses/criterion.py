@@ -37,6 +37,14 @@ from combo_avs_tpu.losses.matcher import HungarianMatcher
 from combo_avs_tpu.ops.grid_sample import point_sample
 
 
+def _upcast32(x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast bf16/fp16 AMP activations to fp32 for the loss math (the
+    reference computes losses in fp32 under autocast) WITHOUT downcasting
+    fp64 — the float64 criterion-oracle parity test runs the exact
+    production graph at full precision."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def uncertainty_sampled_points(
     key: jax.Array,
     mask_logits: jnp.ndarray,  # [M, h, w]
@@ -62,8 +70,13 @@ def uncertainty_sampled_points(
     logits = point_sample(mask_logits[..., None], coords)[..., 0]  # [M, n_sampled]
     from combo_avs_tpu.ops.dispatch import pallas_available
 
+    # The stratified path is pure XLA (an algorithm choice for accelerators,
+    # not a Pallas dispatch), so gate it on the platform — under force_xla()
+    # FLOP-costing twins then keep the production selection semantics
+    # (advisor r4: gating it on pallas_available() flipped the ALGORITHM)
+    on_accel = jax.default_backend() != "cpu"
     strat = _stratified_chunk(n_sampled, n_uncertain)
-    if pallas_available() and not exact_topk and strat:
+    if on_accel and not exact_topk and strat:
         top_coords = _stratified_uncertain_coords(logits, coords, *strat)
     elif pallas_available() and not exact_topk:
         # fallback for indivisible shapes: approximate top-k (PartialReduce,
@@ -159,7 +172,7 @@ class SetCriterion:
             jnp.arange(N)[:, None], safe_assign
         ].set(labels, mode="drop")
 
-        logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+        logp = jax.nn.log_softmax(_upcast32(pred_logits), axis=-1)
         nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
         empty_weight = jnp.where(target_classes == self.num_classes, self.eos_coef, 1.0)
         w = empty_weight * frame_weight[:, None]
@@ -174,8 +187,8 @@ class SetCriterion:
             pred_masks, safe_assign[:, :, None, None], axis=1
         )  # [N, K, h, w]
 
-        src_f = src.reshape(N * K, h, w).astype(jnp.float32)
-        tgt_f = tgt_masks.reshape(N * K, *tgt_masks.shape[2:]).astype(jnp.float32)
+        src_f = _upcast32(src.reshape(N * K, h, w))
+        tgt_f = _upcast32(tgt_masks.reshape(N * K, *tgt_masks.shape[2:]))
         # point selection and GT labels carry no gradient — keep them OUTSIDE
         # the checkpointed region so the backward pass never replays the 3x
         # oversample / top-k / 224^2 GT sampling
@@ -214,7 +227,7 @@ class SetCriterion:
         n_frame = self.cosine_n_frame
         N = middle.shape[0]
         bs = N // n_frame
-        m = middle.reshape(bs, n_frame, -1).astype(jnp.float32)
+        m = _upcast32(middle.reshape(bs, n_frame, -1))
 
         def cos_dist(a, b):
             denom = jnp.maximum(

@@ -51,11 +51,14 @@ def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
             # like 1e-12 is below fp32 resolution for any realistic cost)
             finite = jnp.where(jnp.isfinite(masked), jnp.abs(masked), 0.0)
             nudge = jnp.where(row4col < 0, 0.0, jnp.spacing(finite))
-            j = jnp.argmin(masked + nudge)
+            # argmin returns int64 when x64 is enabled — pin to int32 so the
+            # while_loop carry keeps a stable dtype (the fp64 criterion
+            # oracle runs this solver under jax.enable_x64)
+            j = jnp.argmin(masked + nudge).astype(jnp.int32)
             min_val = masked[j]
             sc = sc.at[j].set(True)
             free = row4col[j] < 0
-            sink = jnp.where(free, j, -1)
+            sink = jnp.where(free, j, jnp.int32(-1))
             i = jnp.where(free, i, row4col[j])
             return (sink, i, min_val, spc, path, sc, sr)
 

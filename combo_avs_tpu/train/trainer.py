@@ -424,11 +424,16 @@ class Trainer:
 
             # train-time accounting EXCLUDES eval/checkpoint pauses (like
             # d2's per-iter timer), so the greppable s/iter lines measure
-            # the train step only; n_timed resets with the timer
-            t0, n_timed = time.perf_counter(), 0
+            # the train step only; n_timed resets with the timer.
+            # data_time = host wait on next(loader), tracked separately like
+            # d2's run_step data_time metric — a growing share flags a
+            # host-bound loader (the chip idles waiting for batches)
+            t0, n_timed, t_data = time.perf_counter(), 0, 0.0
             try:
                 for it in range(self.start_iter, max_iter):
+                    td = time.perf_counter()
                     batch = batch0 if it == self.start_iter else next(loader)
+                    t_data += time.perf_counter() - td
                     batch = shard_batch(batch, self.mesh)
                     self.state, metrics = train_step(self.state, batch, key)
                     n_timed += 1
@@ -436,14 +441,16 @@ class Trainer:
                     if (it + 1) % log_every == 0 or it + 1 == max_iter:
                         loss = float(metrics["total_loss"])
                         dt = (time.perf_counter() - t0) / max(n_timed, 1)
+                        ddt = t_data / max(n_timed, 1)
                         lr = float(schedule(it))
                         logger.info(
-                            "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter)",
-                            it + 1, max_iter, loss, lr, dt,
+                            "iter %d/%d total_loss %.4f lr %.2e (%.3f s/iter, "
+                            "data_time %.3f s/iter)",
+                            it + 1, max_iter, loss, lr, dt, ddt,
                         )
                         if jax.process_index() == 0:
                             with open(self.metrics_file, "a") as f:
-                                f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr}) + "\n")
+                                f.write(json.dumps({"iter": it + 1, "total_loss": loss, "lr": lr, "s_per_iter": round(dt, 4), "data_time": round(ddt, 4)}) + "\n")
                         self.storage.iter = it + 1
                         self.storage.put_scalars(
                             total_loss=loss, lr=lr,
@@ -451,7 +458,7 @@ class Trainer:
                         )
                         for w in self.writers:
                             w.write(self.storage)
-                        t0, n_timed = time.perf_counter(), 0
+                        t0, n_timed, t_data = time.perf_counter(), 0, 0.0
 
                     paused = False
                     if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
@@ -461,7 +468,7 @@ class Trainer:
                         save_checkpoint(cfg.OUTPUT_DIR, jax.device_get(self.state), it + 1)
                         paused = True
                     if paused:  # don't bill eval/ckpt time to s/iter
-                        t0, n_timed = time.perf_counter(), 0
+                        t0, n_timed, t_data = time.perf_counter(), 0, 0.0
             finally:
                 # close on crashes too (the axon relay can die mid-loop),
                 # so buffered TensorBoard events of the run survive

@@ -1,0 +1,168 @@
+"""Production-width multi-hundred-step training on the real chip, through
+the REAL CLI path: config YAML -> register_all -> Trainer.train -> loader ->
+mapper -> sharded jit step (the loop the reference trains 90k iters with,
+ref: train_net.py:278).
+
+Evidence this produces (docs/PROFILE_r5.md):
+  * loss curve over ~250 production-width S4 COMBO-R50 bs8 steps (+ ~60
+    AVSS AMP steps over BOTH frame-count buckets) — finite? decreasing?
+  * s/iter stability across the run (drift = memory/queue pathologies),
+  * data_time per iter from the REAL loader feeding from an on-disk
+    PNG+pkl dataset (host-path keep-up, VERDICT r4 weak #3),
+  * device memory stats if the platform reports them,
+  * one real eval pass over the val split at the end (learnable synthetic
+    data -> mIoU must be far above chance).
+
+Usage (chip-exclusive; run alone):
+  python scripts/make_synth_dataset.py
+  python scripts/r5_longtrain.py [--s4-iters 250] [--avss-iters 60] [--tiny]
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def mem_stats(tag):
+    import jax
+
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        used = st.get("bytes_in_use", st.get("peak_bytes_in_use"))
+        if used is None:
+            raise ValueError(f"no byte counters in {sorted(st)}")
+        row = {"tag": tag,
+               "bytes_in_use": int(used),
+               "peak_bytes_in_use": int(st.get("peak_bytes_in_use", 0))}
+        print(f"[mem] {tag}: in_use={row['bytes_in_use']/2**30:.2f} GiB "
+              f"peak={row['peak_bytes_in_use']/2**30:.2f} GiB", flush=True)
+        return row
+    except Exception as e:  # axon may not implement memory_stats
+        print(f"[mem] {tag}: unavailable ({e})", flush=True)
+        return {"tag": tag, "error": str(e)}
+
+
+def run_phase(name, config_file, out_dir, max_iter, log_every, tiny):
+    from combo_avs_tpu.config import setup_cfg
+    from combo_avs_tpu.train.trainer import Trainer
+
+    opts = ["OUTPUT_DIR", out_dir, "TEST.EVAL_PERIOD", "0",
+            "SOLVER.CHECKPOINT_PERIOD", str(10 * max_iter)]
+    if tiny:
+        opts += ["SOLVER.IMS_PER_BATCH", "2", "INPUT.SIZE_DIVISIBILITY", "64",
+                 "INPUT.CROP.SIZE", "(64, 64)", "INPUT.MIN_SIZE_TRAIN",
+                 "(64,)", "MODEL.MASK_FORMER.TRAIN_NUM_POINTS", "256"]
+    cfg = setup_cfg(config_file, opts)
+    print(f"\n=== {name}: {max_iter} iters of {os.path.basename(config_file)} "
+          f"bs{cfg.SOLVER.IMS_PER_BATCH} AMP={cfg.SOLVER.AMP.ENABLED} ===",
+          flush=True)
+    trainer = Trainer(cfg)
+    mem_rows = [mem_stats(f"{name}/before")]
+    t0 = time.perf_counter()
+    trainer.train(max_iter=max_iter, log_every=log_every)
+    wall = time.perf_counter() - t0
+    mem_rows.append(mem_stats(f"{name}/after-train"))
+    print(f"[{name}] train wall {wall:.1f}s total "
+          f"({wall / max_iter:.3f} s/iter incl compile)", flush=True)
+
+    # parse the committed curve back out of metrics.jsonl
+    rows = []
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if "total_loss" in r:
+                rows.append(r)
+    losses = [r["total_loss"] for r in rows]
+    import numpy as np
+
+    finite = all(np.isfinite(losses))
+    first_q = np.mean(losses[: max(1, len(losses) // 4)])
+    last_q = np.mean(losses[-max(1, len(losses) // 4):])
+    print(f"[{name}] loss first-quarter mean {first_q:.3f} -> "
+          f"last-quarter mean {last_q:.3f}  finite={finite} "
+          f"decreasing={last_q < first_q}", flush=True)
+    result = {"phase": name, "config": os.path.basename(config_file),
+              "max_iter": max_iter, "wall_s": round(wall, 1),
+              "curve": rows, "finite": bool(finite),
+              "loss_first_quarter": round(float(first_q), 4),
+              "loss_last_quarter": round(float(last_q), 4),
+              "mem": mem_rows}
+    return trainer, result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s4-iters", type=int, default=250)
+    ap.add_argument("--avss-iters", type=int, default=60)
+    ap.add_argument("--eval-videos", type=int, default=48)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-sized smoke of this harness (test gate)")
+    ap.add_argument("--skip-avss", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s COMBO] %(message)s",
+                        datefmt="%m/%d %H:%M:%S")
+
+    from combo_avs_tpu.data.catalogs import register_all
+
+    root = os.path.join(REPO, ".synth", "AVS_dataset")
+    assert os.path.isdir(root), "run scripts/make_synth_dataset.py first"
+    register_all(root)
+
+    out = {"platform": jax.default_backend(),
+           "tiny": args.tiny, "phases": []}
+
+    s4_iters = 4 if args.tiny else args.s4_iters
+    avss_iters = 2 if args.tiny else args.avss_iters
+    trainer, res = run_phase(
+        "S4-R50-bs8", os.path.join(REPO, "combo_avs_tpu/configs/avs_s4/COMBO_R50_bs8_90k.yaml"),
+        os.path.join(REPO, ".synth", "out_longrun_s4"),
+        s4_iters, log_every=2 if args.tiny else 10, tiny=args.tiny)
+    out["phases"].append(res)
+
+    # one REAL eval pass over the val split: learnable data -> mIoU must be
+    # far above chance, and the eval loop's host-vs-compute split is logged
+    t0 = time.perf_counter()
+    results = trainer.test("avss4_sem_seg_val", max_videos=args.eval_videos)
+    eval_wall = time.perf_counter() - t0
+    print(f"[S4] eval wall {eval_wall:.1f}s -> {results['sem_seg']}", flush=True)
+    out["s4_eval"] = {"wall_s": round(eval_wall, 1),
+                      **{k: round(float(v), 4) for k, v in results["sem_seg"].items()}}
+    del trainer
+    jax.clear_caches()
+
+    if not args.skip_avss:
+        trainer, res = run_phase(
+            "AVSS-R50-AMP", os.path.join(REPO, "combo_avs_tpu/configs/avs_ss/COMBO_R50_bs8_90k.yaml"),
+            os.path.join(REPO, ".synth", "out_longrun_avss"),
+            avss_iters, log_every=1 if args.tiny else 5, tiny=args.tiny)
+        out["phases"].append(res)
+        del trainer
+
+    path = os.path.join(REPO, ".synth", "longtrain_r5.json" if not args.tiny
+                        else "longtrain_r5_tiny.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}", flush=True)
+    for p in out["phases"]:
+        ok = p["finite"] and p["loss_last_quarter"] < p["loss_first_quarter"]
+        print(f"HEALTH {p['phase']}: {'OK' if ok else 'CHECK'} "
+              f"({p['loss_first_quarter']} -> {p['loss_last_quarter']})")
+
+
+if __name__ == "__main__":
+    main()
