@@ -132,6 +132,10 @@ def bench_eval():
     # Pallas custom calls can't lower for CPU and would count 0 FLOPs
     # anyway, while the gather-based XLA composition counts the deformable
     # op's honest arithmetic.
+    # flops_source self-describes which costing path produced the count so a
+    # silent fallback can never masquerade as the honest number again (the
+    # r4 MFU rows were corrupted exactly this way, docs/PROFILE_r4.md §6)
+    flops_source = "unrolled"
     try:
         from combo_avs_tpu.ops.dispatch import force_xla
 
@@ -150,12 +154,21 @@ def bench_eval():
             flops_step = float(
                 jax.jit(one_step).lower(*shapes).cost_analysis()["flops"]
             )
-    except Exception:
-        try:  # fallback: rolled compiled graph (undercounts scan stacks)
+    except Exception as e:
+        import sys
+
+        print(f"WARNING: unrolled FLOP costing failed ({e!r}); falling back "
+              "to the rolled compiled graph (undercounts scan stacks)",
+              file=sys.stderr)
+        flops_source = "rolled"
+        try:
             flops_step = float(
                 loop_steps.lower(*args).compile().cost_analysis()["flops"]
             )
-        except Exception:
+        except Exception as e2:
+            print(f"WARNING: rolled FLOP costing failed too ({e2!r}); "
+                  "FLOPs-derived fields will be null/0", file=sys.stderr)
+            flops_source = "none"
             flops_step = 0.0
     float(loop_steps(*args))  # warm up (same jit: compile already done)
 
@@ -190,6 +203,7 @@ def bench_eval():
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu_vs_v5e_bf16_peak": round(mfu, 4),
                 "a100_baseline_frames_per_sec_est": round(a100_fps, 1),
+                "flops_source": flops_source,
             }
         )
     )

@@ -14,9 +14,16 @@ avss4_semantic_dataset_mapper.py:60-240 and siblings):
 * audio log-mel from the dataset pickle (ref :61-66).
 
 Output per video (numpy, static shapes):
-  images [T, S, S, 3] float32 raw RGB, pre_masks [T, S, S, 3],
-  audio_log_mel [T, 96, 64], labels [T, K] int32, masks [T, K, S, S] float32,
-  valid [T, K] bool, gt_temporal_mask [T], vid_temporal_mask [T].
+  images [T, S, S, 3] uint8 raw RGB, pre_masks [T, S, S, 3] uint8,
+  audio_log_mel [T, 96, 64] float32, labels [T, K] int32,
+  masks [T, K, S, S] bool, valid [T, K] bool, sem_segs [T, S, S] uint8,
+  gt_temporal_mask [T], vid_temporal_mask [T].
+
+TPU-native dtype choice: every value is EXACTLY representable compactly
+(aug round-trips uint8, GT masks are {0,1}, labels <= 255), and the jitted
+steps cast on DEVICE — host->device transfer of an AVSS bs8 10-frame batch
+drops ~4x (352 -> ~100 MB), which bounds the real train loop on this image's
+tunneled chip (and PCIe H2D on real hosts).
 """
 
 from __future__ import annotations
@@ -250,7 +257,7 @@ class AVSSemanticDatasetMapper:
         gts: List[Optional[np.ndarray]] = [None] * T
         gt_paths = record.get("sem_seg_file_names", [])[:T]
         for i, g in enumerate(read_images(gt_paths, gray=True)):
-            gts[i] = (g // 255).astype(np.int32) if self.binary_gt else g.astype(np.int32)
+            gts[i] = (g // 255).astype(np.uint8) if self.binary_gt else g.astype(np.uint8)
         pres = None
         if self.use_pre_sam and record.get("pre_mask_file_names"):
             pres = read_images(record["pre_mask_file_names"][:T])
@@ -285,11 +292,11 @@ class AVSSemanticDatasetMapper:
             img = images[i] if i < len(images) else np.zeros_like(images[0])
             if tf is not None:
                 img = tf.apply_image(img)
-            out_images.append(_pad_to(img, S, 128).astype(np.float32))
+            out_images.append(_pad_to(img, S, 128).astype(np.uint8))
             if pres is not None:
                 pm = pres[i] if i < len(pres) else np.zeros_like(pres[0])
                 pm = tf.apply_image(pm, color=False) if tf is not None else pm
-                out_pres.append(_pad_to(pm, S, 128).astype(np.float32))
+                out_pres.append(_pad_to(pm, S, 128).astype(np.uint8))
             g = gts[i]
             if g is not None:
                 if tf is not None:
@@ -299,7 +306,7 @@ class AVSSemanticDatasetMapper:
 
         K = self.max_instances
         labels = np.zeros((T, K), np.int32)
-        masks = np.zeros((T, K, S, S), np.float32)
+        masks = np.zeros((T, K, S, S), bool)
         valid = np.zeros((T, K), bool)
         for i, g in enumerate(out_gts):
             if g is None:
@@ -308,7 +315,7 @@ class AVSSemanticDatasetMapper:
             classes = classes[classes != self.ignore_label][:K]
             for k, c in enumerate(classes):
                 labels[i, k] = c
-                masks[i, k] = (g == c).astype(np.float32)
+                masks[i, k] = g == c
                 valid[i, k] = True
 
         mel = self._load_audio(record["audio_file_name"])
@@ -325,7 +332,7 @@ class AVSSemanticDatasetMapper:
             "gt_temporal_mask": np.asarray(record["gt_temporal_mask_flag"], np.float32)[:T],
             "vid_temporal_mask": np.asarray(record["vid_temporal_mask_flag"], np.float32)[:T],
             "sem_segs": np.stack(
-                [g if g is not None else np.full((S, S), self.ignore_label, np.int32)
+                [g if g is not None else np.full((S, S), self.ignore_label, np.uint8)
                  for g in out_gts]
             ),
             # original-size postprocess inputs (ref: maskformer_model.py:

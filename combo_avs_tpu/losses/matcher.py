@@ -87,6 +87,10 @@ class HungarianMatcher:
         shared-points sampling kernel is never differentiated."""
         pred_logits = jax.lax.stop_gradient(pred_logits)
         pred_masks = jax.lax.stop_gradient(pred_masks)
+        # target masks arrive as bool from the loader's compact batches
+        # (data/mappers.py); the samplers/cost math need float
+        tgt_masks = tgt_masks.astype(
+            jnp.promote_types(tgt_masks.dtype, jnp.float32))
         N, Q = pred_logits.shape[:2]
         K = tgt_labels.shape[1]
         pts = jax.random.uniform(key, (N, self.num_points, 2))

@@ -102,6 +102,8 @@ class MaskFormer(nn.Module):
         raise ValueError(f"unknown backbone {self.backbone_name!r}")
 
     def _normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)  # uint8 loader batches, cast on device
         mean = jnp.asarray(self.pixel_mean, x.dtype)
         std = jnp.asarray(self.pixel_std, x.dtype)
         return (x - mean) / std

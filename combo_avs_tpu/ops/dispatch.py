@@ -28,7 +28,14 @@ def pallas_available() -> bool:
 
 @contextlib.contextmanager
 def force_xla():
-    """Within this context every dispatch site takes the XLA composition."""
+    """Within this context every dispatch site takes the XLA composition.
+
+    FOOTGUN: the flag is read at TRACE time and is NOT part of any jit cache
+    key. A function traced outside this context and re-invoked inside it
+    silently reuses its cached Pallas-path executable (and vice versa). Use
+    freshly-defined jitted functions inside the context (as bench.py's
+    costing twin does), or `jax.clear_caches()` after toggling if you must
+    re-trace an existing one."""
     global _FORCE_XLA
     prev = _FORCE_XLA
     _FORCE_XLA = True

@@ -25,6 +25,24 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def local_mesh(mesh: Mesh) -> Mesh:
+    """This host's slice of `mesh` as a standalone Mesh(("data",)).
+
+    Multi-host eval shards RECORDS per host, then fans each host's batches
+    out over its own chips (the reference's one-eval-process-per-GPU,
+    ref: pred.py:231-238) — that per-host stage needs a mesh of local
+    devices only."""
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    if not local:  # the passed mesh has no devices on this host
+        local = jax.local_devices()
+    return Mesh(np.asarray(local), ("data",))
+
+
+def spans_processes(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P("data"))
@@ -42,7 +60,10 @@ def shard_batch(batch, mesh: Mesh):
     array is assembled from per-process locals — the TPU-native replacement
     for the reference's per-rank DDP loader (ref: train_net.py:284-291)."""
     sh = data_sharding(mesh)
-    if jax.process_count() == 1:
+    # branch on the MESH spanning processes, not on process_count: a
+    # host-local mesh inside a multi-host run (the per-host eval fan-out)
+    # is a plain local device_put
+    if not spans_processes(mesh):
         return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),

@@ -71,11 +71,20 @@ def _cast_tree(tree, dtype=jnp.bfloat16):
     )
 
 
-def _cast_batch(batch: Dict, dtype=jnp.bfloat16) -> Dict:
-    return {
-        k: v.astype(dtype) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v
-        for k, v in batch.items()
-    }
+def _model_inputs(batch: Dict, dtype=jnp.float32):
+    """The four model inputs cast ON DEVICE to the compute dtype.
+
+    The loader ships images/Maskiges as uint8 and GT masks as bool (exactly
+    representable — see data/mappers.py), cutting host->device bytes ~4x;
+    the cast to f32/bf16 happens here inside the jitted step. bf16 also
+    fixes AMP-in-name-only: with f32 inputs and bf16 params flax promotes
+    every layer back to f32, so the forward never actually ran in bf16."""
+
+    def cast(x):
+        return None if x is None else x.astype(dtype)
+
+    return (cast(batch["images"]), cast(batch["audio_log_mel"]),
+            cast(batch.get("pre_masks")), cast(batch.get("vid_temporal_mask")))
 
 
 def make_train_step(
@@ -100,12 +109,11 @@ def make_train_step(
         def loss_fn(params):
             fwd_params = _cast_tree(params) if amp else params
             fwd_frozen = _cast_tree(state.frozen) if amp else state.frozen
+            images, mel, pre, vid = _model_inputs(
+                batch, jnp.bfloat16 if amp else jnp.float32)
             outputs = model.apply(
                 {"params": fwd_params, "frozen": fwd_frozen},
-                batch["images"],
-                batch["audio_log_mel"],
-                batch.get("pre_masks"),
-                batch.get("vid_temporal_mask"),
+                images, mel, pre, vid,
                 rngs={"dropout": kd},
             )
             if amp:
@@ -161,23 +169,21 @@ def make_tta_eval_step(model, scales, flip: bool, out_size,
         if bf16:
             params = _cast_tree(params)
             frozen = _cast_tree(frozen)
-            batch = _cast_batch(batch)
-        vt = batch.get("vid_temporal_mask")
-        vt = None if vt is None else vt.reshape(-1)
+        images0, mel, pre0, vid = _model_inputs(
+            batch, jnp.bfloat16 if bf16 else jnp.float32)
+        vt = None if vid is None else vid.reshape(-1)
         acc = None
         n = 0
         for s in scales:
             for do_flip in ((False, True) if flip else (False,)):
-                imgs = _resize_frames(batch["images"], s)
-                pre = batch.get("pre_masks")
-                pre = None if pre is None else _resize_frames(pre, s)
+                imgs = _resize_frames(images0, s)
+                pre = None if pre0 is None else _resize_frames(pre0, s)
                 if do_flip:
                     imgs = imgs[:, :, :, ::-1]
                     pre = None if pre is None else pre[:, :, :, ::-1]
                 outputs = model.apply(
                     {"params": params, "frozen": frozen},
-                    imgs, batch["audio_log_mel"], pre,
-                    batch.get("vid_temporal_mask"),
+                    imgs, mel, pre, vid,
                 )
                 sem = semantic_inference(
                     outputs["pred_logits"], outputs["pred_masks"],
@@ -204,18 +210,14 @@ def make_eval_step(model, out_size, bf16: bool = False) -> Callable:
         if bf16:
             params = _cast_tree(params)
             frozen = _cast_tree(frozen)
-            batch = _cast_batch(batch)
+        images, mel, pre, vid = _model_inputs(
+            batch, jnp.bfloat16 if bf16 else jnp.float32)
         outputs = model.apply(
-            {"params": params, "frozen": frozen},
-            batch["images"],
-            batch["audio_log_mel"],
-            batch.get("pre_masks"),
-            batch.get("vid_temporal_mask"),
+            {"params": params, "frozen": frozen}, images, mel, pre, vid,
         )
         # bf16 outputs feed semantic_inference directly: the mask upsample
         # stays bf16 (half the HBM traffic) and the result comes back fp32
-        vt = batch.get("vid_temporal_mask")
-        vt = None if vt is None else vt.reshape(-1)
+        vt = None if vid is None else vid.reshape(-1)
         return semantic_inference(
             outputs["pred_logits"], outputs["pred_masks"], out_size=out_size,
             temporal_mask=vt,

@@ -55,12 +55,13 @@ def device_timer(fn: Callable, *args, iters: int = 8, repeats: int = 3) -> float
                 return x
 
             out = fn(*jax.tree.map(dep, a))
-            leaves = [l for l in jax.tree.leaves(out)
-                      if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
-            if not leaves:  # int-only outputs (e.g. matcher assignments)
-                leaves = [l.astype(jnp.float32) for l in jax.tree.leaves(out)
-                          if hasattr(l, "dtype")]
-            return sum(jnp.mean(l).astype(jnp.float32) for l in leaves)
+            # fold EVERY leaf (ints cast to f32) into the carry: skipping the
+            # int leaves of a mixed output would let XLA dead-code the
+            # int-producing computation (e.g. matcher assignments next to
+            # float losses) and undertime it — advisor r4
+            leaves = [l.astype(jnp.float32) for l in jax.tree.leaves(out)
+                      if hasattr(l, "dtype")]
+            return sum(jnp.mean(l) for l in leaves)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 

