@@ -32,7 +32,11 @@ MODES = [
     ("pvt_eval_bf16", ["--model", "pvt"]),
     ("s4_train_bs8", ["--train"]),
     ("avss_train_bs8_amp_5f", ["--train", "--dataset", "avss"]),
-    ("avss_train_bs8_amp_10f", ["--train", "--dataset", "avss", "--frames", "10"]),
+    # v2 bucket at the PER-CHIP batch: bs8 x 10f x 224^2 exceeds 16 GB HBM
+    # single-chip (BENCH_FULL_r5 first run: RESOURCE_EXHAUSTED); the global
+    # bs8 recipe runs DP over 2 chips (sharded step: tests/test_train.py)
+    ("avss_train_bs4_amp_10f", ["--train", "--dataset", "avss", "--frames", "10",
+                                "--bs", "4"]),
 ]
 
 
