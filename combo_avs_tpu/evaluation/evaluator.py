@@ -31,6 +31,26 @@ def _softmax(x: np.ndarray, axis: int) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
+def eval_video_partial(kind: str, num_classes: int, sem: np.ndarray,
+                       gt: np.ndarray, img_size, out_h: int, out_w: int):
+    """Postprocess + metric math for ONE video, returning a fresh evaluator
+    holding the partial sums — the unit of work for process-parallel eval
+    (`COMBO_EVAL_PROCS`, train/trainer.py::evaluate). Top-level and
+    jax-free so a "spawn" worker can import it cheaply; the returned
+    evaluator is a few floats / tiny arrays, merged via `merge()` exactly
+    like the multi-host path (the reference's one-rank-per-GPU eval fan-out,
+    ref: pred.py:231-238, applied to host cores)."""
+    from combo_avs_tpu.evaluation.postprocess import (
+        crop_and_resize_gt, sem_seg_postprocess)
+
+    ev = (SemSegEvaluator() if kind == "sem_seg"
+          else SemSegEvaluatorSS(num_classes=num_classes))
+    pred = sem_seg_postprocess(sem, img_size, out_h, out_w)
+    gtc = crop_and_resize_gt(np.asarray(gt), img_size, out_h, out_w)
+    ev.process(pred, gtc)
+    return ev
+
+
 class SemSegEvaluator:
     """S4 / MS3: binary sounding-object masks."""
 

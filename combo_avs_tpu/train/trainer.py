@@ -11,10 +11,12 @@ greppable timing logs in the reference's format ("s / iter per device").
 
 from __future__ import annotations
 
+import collections
 import json
 import logging
 import os
 import time
+import warnings
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -23,7 +25,11 @@ import numpy as np
 from combo_avs_tpu.data.catalogs import DatasetCatalog, MetadataCatalog
 from combo_avs_tpu.data.loader import TrainLoader, eval_loader
 from combo_avs_tpu.data.mappers import AVSSemanticDatasetMapper
-from combo_avs_tpu.evaluation.evaluator import SemSegEvaluator, SemSegEvaluatorSS
+from combo_avs_tpu.evaluation.evaluator import (
+    SemSegEvaluator,
+    SemSegEvaluatorSS,
+    eval_video_partial,
+)
 from combo_avs_tpu.evaluation.postprocess import crop_and_resize_gt, sem_seg_postprocess
 from combo_avs_tpu.parallel.distributed import merge_evaluator_across_hosts
 from combo_avs_tpu.losses.criterion import SetCriterion, build_weight_dict
@@ -206,6 +212,34 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
                     eval_step(params_single, frozen_single, single)))
             return np.concatenate(outs, axis=0)
 
+    # Optional process-parallel metric math: COMBO_EVAL_PROCS=N fans the
+    # per-video postprocess+metrics (host-bound at ~22 videos/s/core,
+    # docs/PROFILE_r5.md section 5) over N worker processes; partials merge
+    # via the same merge() protocol as multi-host eval. "fork" context: spawn
+    # and forkserver both re-import the caller's __main__ in the child
+    # (breaking stdin-driven scripts), and the workers never touch jax — we
+    # pre-fork ALL workers right here, before the eval loader's thread pool
+    # exists, so no user thread can hold a lock across the fork. Vis dumps
+    # need the pred in-process, so --save-vis stays inline.
+    eval_procs = int(os.environ.get("COMBO_EVAL_PROCS", "0") or 0)
+    pool, pending = None, collections.deque()
+    if eval_procs > 0 and not vis_dir:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = ProcessPoolExecutor(
+            eval_procs, mp_context=multiprocessing.get_context("fork"))
+        with warnings.catch_warnings():
+            # py3.12 warns on fork-with-threads (jax's dispatch threads
+            # exist); the workers are jax-free numpy-only, so the usual
+            # hazard doesn't apply — silence the per-eval spam
+            warnings.simplefilter("ignore", DeprecationWarning)
+            for f in [pool.submit(int, 0) for _ in range(eval_procs)]:
+                f.result()  # force the forks now (executor forks lazily)
+        ev_kind = "sem_seg_ss" if isinstance(evaluator, SemSegEvaluatorSS) \
+            else "sem_seg"
+        ev_classes = getattr(evaluator, "num_classes", 2)
+
     n_videos_total = len(records)
     n_done, n_frames_total = 0, 0
     # three-way phase split like the reference: data / compute /
@@ -248,6 +282,15 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
             # crop the padded region, resize pred + GT to the record's (h, w)
             hw = batch["image_size"][b]
             oh, ow = int(batch["height"][b]), int(batch["width"][b])
+            if pool is not None:
+                pending.append(pool.submit(
+                    eval_video_partial, ev_kind, ev_classes, sem[b],
+                    batch["sem_segs"][b], (int(hw[0]), int(hw[1])), oh, ow))
+                # bounded in-flight queue: drain oldest once 4 videos per
+                # worker are queued, so memory stays O(procs), not O(dataset)
+                while len(pending) > 4 * eval_procs:
+                    evaluator.merge(pending.popleft().result())
+                continue
             pred = sem_seg_postprocess(sem[b], hw, oh, ow)
             gt = crop_and_resize_gt(batch["sem_segs"][b], hw, oh, ow)
             evaluator.process(pred, gt)
@@ -258,6 +301,13 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
         n_frames_total += sum(T for r in recs if not r.get("_pad"))
         t_eval += time.perf_counter() - te
         t_mark = time.perf_counter()
+
+    if pool is not None:  # drain the tail and fold worker time into t_eval
+        te = time.perf_counter()
+        while pending:
+            evaluator.merge(pending.popleft().result())
+        pool.shutdown()
+        t_eval += time.perf_counter() - te
 
     total = time.perf_counter() - t0
     n_iter = max(n_frames_total, 1)

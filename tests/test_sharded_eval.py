@@ -119,6 +119,29 @@ def test_batch_size_rounds_up_to_mesh(eval_env):
         assert np.isclose(v, rounded["sem_seg"][k], atol=1e-6)
 
 
+def test_process_parallel_eval_matches_inline(eval_env, monkeypatch):
+    """COMBO_EVAL_PROCS=2 fans postprocess+metrics over worker processes;
+    partials merge via merge() and the metrics must equal the inline pass
+    exactly (the metric math is deterministic float64 sums)."""
+    import jax
+
+    from combo_avs_tpu.models.meta_arch import build_model
+    from combo_avs_tpu.train.trainer import evaluate
+
+    cfg = eval_env
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        (rng.rand(1, 5, S, S, 3) * 255).astype(np.float32),
+        rng.randn(1, 5, 96, 64).astype(np.float32), None)
+    params, frozen = variables["params"], variables.get("frozen", {})
+    inline = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val")
+    monkeypatch.setenv("COMBO_EVAL_PROCS", "2")
+    pooled = evaluate(cfg, model, params, frozen, "tiny_s4_sh_val")
+    assert inline["sem_seg"] == pooled["sem_seg"]
+
+
 def test_eval_oom_fallback_splits_batch(eval_env, monkeypatch):
     """RESOURCE_EXHAUSTED during a batched eval step falls back to one video
     at a time (the reference's retry_if_cuda_oom analog,
