@@ -352,6 +352,12 @@ def get_cfg() -> CfgNode:
     # indivisible shapes) for PointRend uncertain-point selection,
     # True = the reference's exact top-k
     f.EXACT_TOPK_POINTS = False
+    # TPU-native knob (no reference equivalent): pixel-decoder remat policy.
+    # "save_deform" keeps the deformable-kernel output as a remat residual —
+    # bit-identical grads, -48 ms/step at S4 bs8 (9%), fits HBM at every
+    # production regime (scripts/exp_remat_policy.py, PROFILE_r5 section 7).
+    # "" = save only the scan carry (most memory-lean).
+    f.REMAT_POLICY = "save_deform"
     f.TEST = CfgNode()
     f.TEST.SEMANTIC_ON = True
     f.TEST.INSTANCE_ON = False

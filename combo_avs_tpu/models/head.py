@@ -49,7 +49,7 @@ class MaskFormerHead(nn.Module):
     # encoder scan unroll factor; 0 = fully unroll (bench FLOP-costing twin)
     scan_unroll: int = 1
     # pixel-decoder remat policy ("" | "save_deform"); see pixel_decoder.py
-    remat_policy: str = ""
+    remat_policy: str = "save_deform"
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray], audio_feature: jnp.ndarray):

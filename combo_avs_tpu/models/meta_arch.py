@@ -84,7 +84,7 @@ class MaskFormer(nn.Module):
     # cost_analysis counts a rolled scan body once)
     scan_unroll: int = 1
     # pixel-decoder remat policy ("" | "save_deform"); see pixel_decoder.py
-    remat_policy: str = ""
+    remat_policy: str = "save_deform"
 
     def _build_backbone(self, name: str):
         if self.backbone_name == "build_resnet_backbone":
@@ -249,4 +249,5 @@ def build_model(cfg, deterministic: bool = True) -> MaskFormer:
         deterministic=deterministic,
         freeze_audio=m.AUDIO.FREEZE_AUDIO_EXTRACTOR,
         vggish_width=m.AUDIO.get("WIDTH_MULT", 1.0),
+        remat_policy=m.MASK_FORMER.get("REMAT_POLICY", "save_deform"),
     )

@@ -188,10 +188,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
     # backward (needs ~16.6 GB XLA temp at bs8 — OOM on 16 GB v5e; fits at
     # smaller batch; exists for profiling the remat-replay cost)
     remat: bool = True
-    # "" = plain remat (save only the scan carry); "save_deform" = also keep
-    # each layer's deformable-kernel output ([B, S, C], ~168 MB/layer at
-    # bs8 fp32) so the backward replay skips the 6 Pallas forward calls
-    remat_policy: str = ""
+    # "" = plain remat (save only the scan carry); "save_deform" (default —
+    # adopted r5, -48 ms/step at S4 bs8 with bit-identical grads, fits HBM
+    # at every production regime incl. AVSS AMP; exp_remat_policy.py) = also
+    # keep each layer's deformable-kernel output ([B, S, C], ~168 MB/layer
+    # at bs8 fp32) so the backward replay skips the 6 Pallas forward calls
+    remat_policy: str = "save_deform"
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):

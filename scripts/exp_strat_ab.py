@@ -80,7 +80,9 @@ def run_twin(exact_topk: bool, seed: int, steps: int, tiny: bool):
     cfg = get_cfg()
     cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
     cfg.SOLVER.BASE_LR = 5e-4
-    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 2
+    # model dec_layers=2 emits 3 prediction sets (queries + 2 layers), i.e.
+    # aux _0 and _1 — the cfg convention counts prediction sets, so 3
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 3
     # PRODUCTION selection shape (12544 pts, 3x oversample) even though the
     # model is tiny — the selection algorithm is the experiment variable
     num_points = 256 if tiny else 12544
