@@ -30,7 +30,11 @@ import optax
 NORM_KEYS = ("norm", "layernorm", "groupnorm", "ln", "gn")
 # flax param names of the modules that are torch nn.Embedding in the
 # reference (query/level/audio-pos tables) -> SOLVER.WEIGHT_DECAY_EMBED
-# (ref: train_net.py:192-193)
+# (ref: train_net.py:192-193). NOTE the name collision: the PIXEL DECODER's
+# level_embed is an nn.Parameter in the reference (ref: msdeformattn.py:45),
+# NOT an nn.Embedding, so it keeps the DEFAULT weight decay — only the
+# fusion-module and predictor tables are Embeddings. classify_param exempts
+# pixel_decoder paths (caught by tests/test_optim_oracle.py).
 EMBED_KEYS = ("query_feat", "query_embed", "level_embed", "audio_pos")
 # always-zero weight decay regardless of cfg (ref: train_net.py:184-189)
 ZERO_WD_KEYS = ("relative_position_bias_table", "absolute_pos_embed")
@@ -60,7 +64,8 @@ def classify_param(path, freeze_audio: bool = True) -> dict:
         wd_kind = "zero"
     elif leaf in ("scale", "bias") and any(k in parent for k in NORM_KEYS):
         wd_kind = "norm"
-    elif any(k in leaf or k in parent for k in EMBED_KEYS):
+    elif (any(k in leaf or k in parent for k in EMBED_KEYS)
+          and "pixel_decoder" not in s):
         wd_kind = "embed"
     return {
         "frozen": frozen,

@@ -31,9 +31,11 @@ def test_classify_param_rules():
         "sem_seg_head": {
             "predictor": {
                 "query_feat": 1,
+                "level_embed": 1,
                 "cross_norm0": {"scale": 1, "bias": 1},
                 "ffn_linear1_0": {"kernel": 1, "bias": 1},
-            }
+            },
+            "pixel_decoder": {"level_embed": 1},
         },
     }
     flat = jtu.tree_flatten_with_path(tree)[0]
@@ -43,6 +45,11 @@ def test_classify_param_rules():
     assert info["pre_sam_backbone/stem_conv1/kernel"]["backbone"]
     assert info["audio_backbone/fc0/kernel"]["frozen"]
     assert info["sem_seg_head/predictor/query_feat"]["wd_kind"] == "embed"
+    # the predictor/fusion tables are nn.Embedding in the reference, but the
+    # PIXEL DECODER's level_embed is a plain nn.Parameter (ref:
+    # msdeformattn.py:45) -> keeps the DEFAULT weight decay
+    assert info["sem_seg_head/predictor/level_embed"]["wd_kind"] == "embed"
+    assert info["sem_seg_head/pixel_decoder/level_embed"]["wd_kind"] == "default"
     assert info["sem_seg_head/predictor/cross_norm0/scale"]["wd_kind"] == "norm"
     assert info["sem_seg_head/predictor/cross_norm0/bias"]["wd_kind"] == "norm"
     # plain linear kernel/bias keep the default weight decay (d2 behavior)

@@ -609,9 +609,12 @@ class ComboTorch(nn.Module):
                                        dec_layers=dec_layers)
         self.sem_seg_head = sem
 
-    @torch.no_grad()
     def forward(self, images, mel, pre_masks):
-        """images/pre_masks [N, 3, H, W] raw RGB 0-255; mel [N, 1, 96, 64]."""
+        """images/pre_masks [N, 3, H, W] raw RGB 0-255; mel [N, 1, 96, 64].
+
+        Grad-enabled (callers wrap inference in `torch.no_grad()`): the
+        end-to-end gradient oracle (tests/test_grad_oracle.py) backprops
+        through this forward."""
         mean = torch.tensor(PIXEL_MEAN).view(1, 3, 1, 1)
         std = torch.tensor(PIXEL_STD).view(1, 3, 1, 1)
         frames = (images - mean) / std

@@ -67,37 +67,43 @@ class RefHungarianMatcher:
         self.cost_dice = cost_dice
 
     @torch.no_grad()
+    def cost_matrix(self, outputs: Dict, b: int, tgt: Dict,
+                    frame_points: torch.Tensor) -> torch.Tensor:
+        """[Q, R] total cost for frame b (ref: matcher.py:83-126)."""
+        prob = outputs["pred_logits"][b].softmax(-1)  # [Q, C+1]
+        cost_class = -prob[:, tgt["labels"]]  # [Q, R]
+        pts = frame_points[b : b + 1]
+        out_pts = point_sample(
+            outputs["pred_masks"][b][:, None],
+            pts.expand(outputs["pred_masks"].shape[1], -1, -1),
+        )[:, 0].double()  # [Q, P]
+        R = tgt["masks"].shape[0]
+        if R:
+            tgt_pts = point_sample(
+                tgt["masks"][:, None].to(out_pts.dtype), pts.expand(R, -1, -1)
+            )[:, 0].double()
+        else:
+            tgt_pts = out_pts.new_zeros((0, out_pts.shape[1]))
+        P = out_pts.shape[1]
+        pos = F.binary_cross_entropy_with_logits(
+            out_pts, torch.ones_like(out_pts), reduction="none")
+        neg = F.binary_cross_entropy_with_logits(
+            out_pts, torch.zeros_like(out_pts), reduction="none")
+        cost_mask = (pos @ tgt_pts.T + neg @ (1.0 - tgt_pts).T) / P
+        sig = out_pts.sigmoid()
+        inter = 2.0 * (sig @ tgt_pts.T)
+        denom = sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+        cost_dice = 1.0 - (inter + 1.0) / (denom + 1.0)
+        return (self.cost_class * cost_class.double()
+                + self.cost_mask * cost_mask + self.cost_dice * cost_dice)
+
+    @torch.no_grad()
     def __call__(self, outputs: Dict, targets: List[Dict],
                  frame_points: torch.Tensor):
         """frame_points [N, P, 2]: the shared random point set per frame."""
         indices = []
         for b, tgt in enumerate(targets):
-            prob = outputs["pred_logits"][b].softmax(-1)  # [Q, C+1]
-            cost_class = -prob[:, tgt["labels"]]  # [Q, R]
-            pts = frame_points[b : b + 1]
-            out_pts = point_sample(
-                outputs["pred_masks"][b][:, None],
-                pts.expand(outputs["pred_masks"].shape[1], -1, -1),
-            )[:, 0].double()  # [Q, P]
-            R = tgt["masks"].shape[0]
-            if R:
-                tgt_pts = point_sample(
-                    tgt["masks"][:, None].to(out_pts.dtype), pts.expand(R, -1, -1)
-                )[:, 0].double()
-            else:
-                tgt_pts = out_pts.new_zeros((0, out_pts.shape[1]))
-            P = out_pts.shape[1]
-            pos = F.binary_cross_entropy_with_logits(
-                out_pts, torch.ones_like(out_pts), reduction="none")
-            neg = F.binary_cross_entropy_with_logits(
-                out_pts, torch.zeros_like(out_pts), reduction="none")
-            cost_mask = (pos @ tgt_pts.T + neg @ (1.0 - tgt_pts).T) / P
-            sig = out_pts.sigmoid()
-            inter = 2.0 * (sig @ tgt_pts.T)
-            denom = sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
-            cost_dice = 1.0 - (inter + 1.0) / (denom + 1.0)
-            C = (self.cost_class * cost_class.double()
-                 + self.cost_mask * cost_mask + self.cost_dice * cost_dice)
+            C = self.cost_matrix(outputs, b, tgt, frame_points)
             i, j = linear_sum_assignment(C.cpu().numpy())
             indices.append((torch.as_tensor(i, dtype=torch.int64),
                             torch.as_tensor(j, dtype=torch.int64)))
@@ -168,7 +174,9 @@ class RefSetCriterion:
                 matcher_points: torch.Tensor,
                 mask_candidates: List[torch.Tensor],
                 mask_rand_tails: List[torch.Tensor],
-                world_size: int = 1) -> Dict[str, torch.Tensor]:
+                world_size: int = 1,
+                indices_override: Optional[List] = None
+                ) -> Dict[str, torch.Tensor]:
         """outputs: pred_logits [N,Q,C+1], pred_masks [N,Q,h,w],
         aux_outputs (list of dicts), middles_attn_mask (list of [N,Q,HW]).
         targets: ragged per-SELECTED-frame dicts (len == len(frame_indices)).
@@ -186,7 +194,8 @@ class RefSetCriterion:
         num_masks = max(sum(len(t["labels"]) for t in targets) / world_size, 1.0)
         losses: Dict[str, torch.Tensor] = {}
         for li, lay in enumerate(layers):
-            indices = self.matcher(lay, targets, matcher_points[li])
+            indices = (indices_override[li] if indices_override is not None
+                       else self.matcher(lay, targets, matcher_points[li]))
             suffix = "" if li == 0 else f"_{li - 1}"
             losses[f"loss_ce{suffix}"] = self.loss_labels(lay, targets, indices)
             lm, ld = self.loss_masks(lay, targets, indices, num_masks,
