@@ -78,9 +78,12 @@ def bench_eval():
     from combo_avs_tpu.models.meta_arch import MaskFormer, semantic_inference
 
     tiny = bool(_flag("--tiny"))
-    B, T, S = int(_flag("--bs", 2 if tiny else 4)), 5, (64 if tiny else 224)
-    K = 2 if tiny else 8  # on-device loop length per timed call
     use_pvt = "pvt" in str(_flag("--model", ""))
+    # default eval batch: the r5 sweep (docs/eval_bs_sweep_r5.json) peaks
+    # R50 at B=4 and PVT at B=8 (its 196-token stages amortize with rows)
+    B = int(_flag("--bs", 2 if tiny else (8 if use_pvt else 4)))
+    T, S = 5, (64 if tiny else 224)
+    K = 2 if tiny else 8  # on-device loop length per timed call
     bf16 = not _flag("--fp32")
     if tiny:
         model = MaskFormer(**_TINY_MODEL_KWARGS)
@@ -348,6 +351,23 @@ def bench_train():
 
 
 def main():
+    # persistent compile cache: repeated driver/bench runs at the same HEAD
+    # skip the 2-15 min tunnel compile (same dir scripts/bench_all.py uses)
+    import os
+
+    import jax
+
+    if _flag("--tiny"):
+        # standalone tiny smoke must not attach to the (exclusive) chip;
+        # JAX_PLATFORMS env is ignored under axon — use the config knob
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (in-process test harness)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     if _flag("--train"):
         bench_train()
     else:
