@@ -5,7 +5,8 @@
 # every file passes in isolation. No pytest-forked/xdist in this image, so
 # the suite runs as two processes: the engine/sharded tail in its own.
 #
-# Usage: bash scripts/run_tests.sh   (from anywhere; ~45 min on this 1-core box)
+# Usage: bash scripts/run_tests.sh  (from anywhere; ~50-60 min on this 1-core
+# box — 196 tests as of r5: 175 library/ops/data + 21 engine/sharded)
 set -u
 cd "$(dirname "$0")/.."
 
