@@ -35,8 +35,9 @@ def eval_video_partial(kind: str, num_classes: int, sem: np.ndarray,
                        gt: np.ndarray, img_size, out_h: int, out_w: int):
     """Postprocess + metric math for ONE video, returning a fresh evaluator
     holding the partial sums — the unit of work for process-parallel eval
-    (`COMBO_EVAL_PROCS`, train/trainer.py::evaluate). Top-level and
-    jax-free so a "spawn" worker can import it cheaply; the returned
+    (`COMBO_EVAL_PROCS`, train/trainer.py::evaluate). Top-level and jax-free;
+    the pool uses a FORK context (spawn/forkserver re-import the parent's
+    __main__, breaking stdin-driven scripts — see trainer.py); the returned
     evaluator is a few floats / tiny arrays, merged via `merge()` exactly
     like the multi-host path (the reference's one-rank-per-GPU eval fan-out,
     ref: pred.py:231-238, applied to host cores)."""

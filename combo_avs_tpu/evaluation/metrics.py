@@ -84,6 +84,10 @@ def eval_fmeasure(
         # dense sweep (tests/test_metrics.py ties case).
         # arithmetic binning (uniform grid) + exact boundary correction —
         # ~6x cheaper than np.searchsorted at HW=50k and bit-equal on ties
+        # NaN pixels (diverged model) pass no threshold, like the dense
+        # sweep's `NaN >= t == False`; unsanitized they'd floor to INT64_MIN
+        # and crash the fancy-indexed boundary correction below
+        p[np.isnan(p)] = -1.0
         step = thresholds[1] - thresholds[0]
         idx = np.clip(np.floor(p / step), -1, pr_num - 1).astype(np.int64)
         hi = idx < pr_num - 1

@@ -110,6 +110,21 @@ def shard_records(records, process_index: int, process_count: int):
     return records[process_index::process_count]
 
 
+def _worker_result(fut, timeout: float = 600.0):
+    """Fetch a COMBO_EVAL_PROCS worker result with a deadlock bound: a child
+    forked while another thread held a lock (e.g. periodic eval forking over
+    live TrainLoader cv2 threads) would hang forever in result() — surface
+    that as an actionable error instead."""
+    try:
+        return fut.result(timeout=timeout)
+    except TimeoutError:
+        raise RuntimeError(
+            f"COMBO_EVAL_PROCS metric worker returned nothing within "
+            f"{timeout:.0f} s — likely a lock held across fork (periodic "
+            f"eval forks while TrainLoader threads are live). Re-run with "
+            f"COMBO_EVAL_PROCS=0 to process metrics inline.") from None
+
+
 def evaluate(cfg, model, params, frozen, dataset_name: str,
              batch_size: int = 1, max_videos: Optional[int] = None,
              process_index: Optional[int] = None,
@@ -218,9 +233,12 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     # via the same merge() protocol as multi-host eval. "fork" context: spawn
     # and forkserver both re-import the caller's __main__ in the child
     # (breaking stdin-driven scripts), and the workers never touch jax — we
-    # pre-fork ALL workers right here, before the eval loader's thread pool
-    # exists, so no user thread can hold a lock across the fork. Vis dumps
-    # need the pred in-process, so --save-vis stays inline.
+    # pre-fork ALL workers right here, before the EVAL loader's thread pool
+    # exists. Residual hazard: periodic eval inside Trainer.train() forks
+    # while the TrainLoader's cv2-decoding threads are live; if one holds a
+    # cv2/allocator lock at fork, a child could deadlock — the .result()
+    # timeouts below turn that into a loud error instead of a silent hang.
+    # Vis dumps need the pred in-process, so --save-vis stays inline.
     eval_procs = int(os.environ.get("COMBO_EVAL_PROCS", "0") or 0)
     pool, pending = None, collections.deque()
     if eval_procs > 0 and not vis_dir:
@@ -246,68 +264,72 @@ def evaluate(cfg, model, params, frozen, dataset_name: str,
     # eval-postprocess (ref: evaluator.py:149-244 times all three)
     t_compute, t_data, t_eval, t0 = 0.0, 0.0, 0.0, time.perf_counter()
     t_mark = t_log = time.perf_counter()
-    for batch, recs in eval_loader(records, mapper, batch_size=batch_size,
-                                   with_records=True):
-        t_data += time.perf_counter() - t_mark
-        tc = time.perf_counter()
-        # ship ONLY the model inputs to the device: GT/shape metadata
-        # (sem_segs, image_size, ...) are host-side and would be dead H2D
-        # bytes (sem_segs alone is 25% of an AVSS eval batch)
-        sem = _run_step({k: batch[k] for k in (
-            "images", "audio_log_mel", "pre_masks", "vid_temporal_mask")
-            if k in batch})
-        t_compute += time.perf_counter() - tc
-        n_done += len(recs)
-        # rate-limited progress with ETA, the reference's in-loop log
-        # (ref: evaluator.py:213-226 logs every >=5 s after warmup)
-        now = time.perf_counter()
-        if now - t_log >= 5.0 and n_done < n_videos_total:
-            per_video = (now - t0) / n_done
-            eta = int(per_video * (n_videos_total - n_done))
-            logger.info(
-                "Inference done %d/%d. Dataloading: %.4f s/video. "
-                "Inference: %.4f s/video. Eval: %.4f s/video. "
-                "Total: %.4f s/video. ETA=%d:%02d:%02d",
-                n_done, n_videos_total, t_data / n_done, t_compute / n_done,
-                t_eval / n_done,
-                per_video, eta // 3600, eta % 3600 // 60, eta % 60)
-            t_log = now
-        te = time.perf_counter()
-        B, T = batch["images"].shape[:2]
-        sem = sem.reshape(B, T, *sem.shape[1:])
-        for b in range(B):
-            if recs[b].get("_pad"):
-                continue  # bucket-fill duplicate (multi-chip batch padding)
-            # original-size postprocess (ref: maskformer_model.py:397-441):
-            # crop the padded region, resize pred + GT to the record's (h, w)
-            hw = batch["image_size"][b]
-            oh, ow = int(batch["height"][b]), int(batch["width"][b])
-            if pool is not None:
-                pending.append(pool.submit(
-                    eval_video_partial, ev_kind, ev_classes, sem[b],
-                    batch["sem_segs"][b], (int(hw[0]), int(hw[1])), oh, ow))
-                # bounded in-flight queue: drain oldest once 4 videos per
-                # worker are queued, so memory stays O(procs), not O(dataset)
-                while len(pending) > 4 * eval_procs:
-                    evaluator.merge(pending.popleft().result())
-                continue
-            pred = sem_seg_postprocess(sem[b], hw, oh, ow)
-            gt = crop_and_resize_gt(batch["sem_segs"][b], hw, oh, ow)
-            evaluator.process(pred, gt)
-            if vis_dir:
-                save_prediction_vis(vis_dir, recs[b]["video"], pred)
-        # count only real videos (not bucket-fill duplicates) so the
-        # reference-format s/iter logs state true per-frame throughput
-        n_frames_total += sum(T for r in recs if not r.get("_pad"))
-        t_eval += time.perf_counter() - te
-        t_mark = time.perf_counter()
+    try:
+        for batch, recs in eval_loader(records, mapper, batch_size=batch_size,
+                                       with_records=True):
+            t_data += time.perf_counter() - t_mark
+            tc = time.perf_counter()
+            # ship ONLY the model inputs to the device: GT/shape metadata
+            # (sem_segs, image_size, ...) are host-side and would be dead H2D
+            # bytes (sem_segs alone is 25% of an AVSS eval batch)
+            sem = _run_step({k: batch[k] for k in (
+                "images", "audio_log_mel", "pre_masks", "vid_temporal_mask")
+                if k in batch})
+            t_compute += time.perf_counter() - tc
+            n_done += len(recs)
+            # rate-limited progress with ETA, the reference's in-loop log
+            # (ref: evaluator.py:213-226 logs every >=5 s after warmup)
+            now = time.perf_counter()
+            if now - t_log >= 5.0 and n_done < n_videos_total:
+                per_video = (now - t0) / n_done
+                eta = int(per_video * (n_videos_total - n_done))
+                logger.info(
+                    "Inference done %d/%d. Dataloading: %.4f s/video. "
+                    "Inference: %.4f s/video. Eval: %.4f s/video. "
+                    "Total: %.4f s/video. ETA=%d:%02d:%02d",
+                    n_done, n_videos_total, t_data / n_done, t_compute / n_done,
+                    t_eval / n_done,
+                    per_video, eta // 3600, eta % 3600 // 60, eta % 60)
+                t_log = now
+            te = time.perf_counter()
+            B, T = batch["images"].shape[:2]
+            sem = sem.reshape(B, T, *sem.shape[1:])
+            for b in range(B):
+                if recs[b].get("_pad"):
+                    continue  # bucket-fill duplicate (multi-chip batch padding)
+                # original-size postprocess (ref: maskformer_model.py:397-441):
+                # crop the padded region, resize pred + GT to the record's (h, w)
+                hw = batch["image_size"][b]
+                oh, ow = int(batch["height"][b]), int(batch["width"][b])
+                if pool is not None:
+                    pending.append(pool.submit(
+                        eval_video_partial, ev_kind, ev_classes, sem[b],
+                        batch["sem_segs"][b], (int(hw[0]), int(hw[1])), oh, ow))
+                    # bounded in-flight queue: drain oldest once 4 videos per
+                    # worker are queued, so memory stays O(procs), not O(dataset)
+                    while len(pending) > 4 * eval_procs:
+                        evaluator.merge(_worker_result(pending.popleft()))
+                    continue
+                pred = sem_seg_postprocess(sem[b], hw, oh, ow)
+                gt = crop_and_resize_gt(batch["sem_segs"][b], hw, oh, ow)
+                evaluator.process(pred, gt)
+                if vis_dir:
+                    save_prediction_vis(vis_dir, recs[b]["video"], pred)
+            # count only real videos (not bucket-fill duplicates) so the
+            # reference-format s/iter logs state true per-frame throughput
+            n_frames_total += sum(T for r in recs if not r.get("_pad"))
+            t_eval += time.perf_counter() - te
+            t_mark = time.perf_counter()
 
-    if pool is not None:  # drain the tail and fold worker time into t_eval
-        te = time.perf_counter()
-        while pending:
-            evaluator.merge(pending.popleft().result())
-        pool.shutdown()
-        t_eval += time.perf_counter() - te
+        if pool is not None:  # drain the tail and fold worker time into t_eval
+            te = time.perf_counter()
+            while pending:
+                evaluator.merge(_worker_result(pending.popleft()))
+            pool.shutdown()
+            t_eval += time.perf_counter() - te
+    finally:
+        if pool is not None:  # idempotent; reaps workers on error paths
+            pool.shutdown(wait=False, cancel_futures=True)
 
     total = time.perf_counter() - t0
     n_iter = max(n_frames_total, 1)

@@ -107,6 +107,22 @@ def test_fmeasure_histogram_equals_dense_sweep():
         pred, gt, ignore=ignore)
 
 
+def test_fmeasure_nan_pred_passes_no_threshold():
+    """NaN predictions (a diverged model mid-training) must behave like the
+    dense sweep's `NaN >= t == False` — counted in no threshold bin — not
+    crash the arithmetic binning (NaN floors to INT64_MIN unsanitized)."""
+    rng = np.random.RandomState(3)
+    pred = rng.rand(2, 16, 16)
+    gt = (rng.rand(2, 16, 16) > 0.5).astype(np.float32)
+    nan_pred = pred.copy()
+    nan_pred[0, :4, :] = np.nan
+    zero_pred = pred.copy()
+    zero_pred[0, :4, :] = -1.0  # also passes no threshold
+    got = eval_fmeasure(nan_pred, gt)
+    assert np.isfinite(got)
+    assert got == eval_fmeasure(zero_pred, gt) == _dense_fmeasure(zero_pred, gt)
+
+
 def test_batch_miou_fscore_matches_torch_histc():
     """Oracle: the torch.histc-based per-class computation."""
     rng = np.random.RandomState(2)
